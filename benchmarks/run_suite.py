@@ -1,0 +1,137 @@
+"""Benchmark suite runner emitting the reference's 9-column schema.
+
+Equivalent of scripts/benchmarks_{cpu,gpu}.jl (reference SURVEY §6): per
+instance records nvar, ncon, nnzj, nnzh, status, iter, objective,
+total_time, linear_solver_time.  Instances come from a directory of
+MPS/QPS files (``--dir``) or from built-in generated suites (``--suite``).
+
+Usage:
+    python benchmarks/run_suite.py --suite random_qp --sizes 100,200,500
+    python benchmarks/run_suite.py --dir /path/to/netlib --out results.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import madqp_tpu as mq  # noqa: E402
+
+
+def run_instance(name, qp, options):
+    """import -> presolve -> scale -> solve -> 9-column record
+    (reference run_benchmark, scripts/benchmarks_cpu.jl:12-60)."""
+    record = {
+        "name": name,
+        "nvar": qp.nvar,
+        "ncon": qp.ncon,
+        "nnzj": qp.nnzj,
+        "nnzh": qp.nnzh,
+        "status": -1,
+        "iter": -1,
+        "objective": float("nan"),
+        "total_time": -1.0,
+        "linear_solver_time": -1.0,
+    }
+    try:
+        qp_p, pinfo, ok = mq.presolve_qp(qp)
+        if not ok:
+            record["status"] = f"presolve:{pinfo.status.value}"
+            return record
+        qp_s, scaling = mq.scale_qp(qp_p)
+        t0 = time.time()
+        stats = mq.solve(qp_s, **options)
+        record["total_time"] = time.time() - t0
+        stats = mq.unscale_stats(scaling, stats)
+        record["status"] = int(stats.status == mq.Status.SOLVE_SUCCEEDED)
+        record["iter"] = stats.iter
+        record["objective"] = stats.objective
+        record["linear_solver_time"] = stats.counters.linear_solver_time
+    except Exception as e:  # mirror the harness's record-and-continue policy
+        record["status"] = f"error:{type(e).__name__}"
+    return record
+
+
+def generated_suite(kind: str, sizes):
+    for n in sizes:
+        m = max(1, n // 2)
+        if kind == "random_qp":
+            yield f"random_qp_{n}", mq.random_qp(n, m, seed=n)
+        elif kind == "random_lp":
+            yield f"random_lp_{n}", mq.random_lp(n, m, seed=n)
+        elif kind == "dense_dummy":
+            yield f"dense_dummy_{n}", mq.dense_dummy_qp(n, m, seed=n)
+        else:
+            raise ValueError(f"unknown suite {kind}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", help="directory of .mps/.qps/.sif[.gz|.bz2] files")
+    ap.add_argument("--suite", default="random_qp",
+                    choices=["random_qp", "random_lp", "dense_dummy"])
+    ap.add_argument("--sizes", default="100,200,500")
+    ap.add_argument("--tol", type=float, default=1e-8)
+    ap.add_argument("--max-iter", type=int, default=300)
+    ap.add_argument("--max-ncorr", type=int, default=3)
+    ap.add_argument("--kkt", default="condensed")
+    ap.add_argument("--out", default="")
+    ap.add_argument("--exclude", default="", help="comma-separated instance names")
+    args = ap.parse_args()
+
+    options = dict(
+        print_level=40,
+        tol=args.tol,
+        max_iter=args.max_iter,
+        max_ncorr=args.max_ncorr,
+        kkt_system=args.kkt,
+        step_rule=mq.AdaptiveStep(0.995),
+        regularization=mq.FixedRegularization(1e-8, -1e-8),
+    )
+    excluded = set(filter(None, args.exclude.split(",")))
+
+    instances = []
+    if args.dir:
+        patterns = ["*.mps", "*.qps", "*.sif", "*.SIF", "*.mps.gz", "*.mps.bz2",
+                    "*.SIF.gz", "*.sif.gz"]
+        files = sorted(
+            f for pat in patterns for f in glob.glob(os.path.join(args.dir, pat))
+        )
+        for path in files:
+            nm = os.path.basename(path).split(".")[0]
+            if nm in excluded:
+                continue
+            try:
+                instances.append((nm, mq.read_mps(path)))
+            except Exception as e:
+                print(json.dumps({"name": nm, "status": f"read_error:{e}"}))
+    else:
+        sizes = [int(s) for s in args.sizes.split(",")]
+        instances = [
+            (nm, qp) for nm, qp in generated_suite(args.suite, sizes)
+            if nm not in excluded
+        ]
+
+    results = []
+    for nm, qp in instances:
+        rec = run_instance(nm, qp, options)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+    solved = sum(1 for r in results if r["status"] == 1)
+    print(f"# solved {solved}/{len(results)}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

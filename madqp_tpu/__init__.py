@@ -1,0 +1,80 @@
+"""madqp_tpu — a TPU-native LP/QP interior-point framework.
+
+Brand-new implementation of the Mehrotra predictor-corrector interior-point
+method with the capabilities of MadIPM.jl (the MadNLP/MadQP reference),
+designed TPU-first: masked dense state pytrees, jitted lax.while_loop MPC
+iterations, MXU-friendly block factorizations, and pjit/shard_map scale-out.
+
+Double precision is required for the 1e-8 tolerances of the reference
+protocol; we enable x64 at import (TPU emulates f64; the mixed-precision
+path trades f32 factorization + refinement for speed).
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from .utils import (  # noqa: E402
+    Status,
+    ExecutionStats,
+    Counters,
+    IPMOptions,
+    Mehrotra,
+    ConservativeStep,
+    AdaptiveStep,
+    MehrotraAdaptiveStep,
+    NoRegularization,
+    FixedRegularization,
+    AdaptiveRegularization,
+    KKTSystem,
+    LinearSolverBackend,
+    MadLogger,
+)
+from .models import (  # noqa: E402
+    QuadraticProblem,
+    StandardQP,
+    build_standard_form,
+    from_coo,
+    dense_dummy_qp,
+    simple_lp,
+    random_lp,
+    random_qp,
+    scale_qp,
+    unscale_stats,
+    presolve_qp,
+)
+from .io import read_mps  # noqa: E402
+from .solver import MPCSolver, solve  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Status",
+    "ExecutionStats",
+    "Counters",
+    "IPMOptions",
+    "Mehrotra",
+    "ConservativeStep",
+    "AdaptiveStep",
+    "MehrotraAdaptiveStep",
+    "NoRegularization",
+    "FixedRegularization",
+    "AdaptiveRegularization",
+    "KKTSystem",
+    "LinearSolverBackend",
+    "MadLogger",
+    "QuadraticProblem",
+    "StandardQP",
+    "build_standard_form",
+    "from_coo",
+    "dense_dummy_qp",
+    "simple_lp",
+    "random_lp",
+    "random_qp",
+    "scale_qp",
+    "unscale_stats",
+    "presolve_qp",
+    "read_mps",
+    "MPCSolver",
+    "solve",
+]

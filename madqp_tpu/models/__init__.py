@@ -1,0 +1,23 @@
+from .qp import QuadraticProblem, StandardQP, TransformInfo, build_standard_form, from_coo
+from .generators import dense_dummy_qp, simple_lp, random_lp, random_qp
+from .scaling import scale_qp, ruiz_scaling_factors, unscale_stats, RuizScaling
+from .presolve import presolve_qp, PresolveInfo, PresolveStatus
+
+__all__ = [
+    "QuadraticProblem",
+    "StandardQP",
+    "TransformInfo",
+    "build_standard_form",
+    "from_coo",
+    "dense_dummy_qp",
+    "simple_lp",
+    "random_lp",
+    "random_qp",
+    "scale_qp",
+    "ruiz_scaling_factors",
+    "unscale_stats",
+    "RuizScaling",
+    "presolve_qp",
+    "PresolveInfo",
+    "PresolveStatus",
+]

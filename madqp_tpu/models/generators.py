@@ -1,0 +1,132 @@
+"""Test-problem generators.
+
+Equivalents of the reference's fixtures: MadNLPTests.DenseDummyQP (randomized
+dense convex QP, test/runtests.jl:9) and the hand-built degenerate `simple_lp`
+(test/runtests.jl:24-55).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from .qp import QuadraticProblem, from_coo
+
+
+def dense_dummy_qp(
+    n: int = 10,
+    m: int = 5,
+    fixed_variables=(),
+    equality_cons=(),
+    seed: int = 0,
+) -> QuadraticProblem:
+    """Randomized dense convex QP, mirroring MadNLPTests.DenseDummyQP:
+
+        min  0.5 x'Qx + c'x   s.t. rows of Ax vs bounds, 0 <= x <= 1,
+    with Q = P'P + alpha I (SPD), a mix of <= / >= / == constraints, and
+    optional fixed variables (lvar == uvar).
+    """
+    rng = np.random.default_rng(seed)
+    P = rng.standard_normal((n, n)) / np.sqrt(n)
+    Q = P.T @ P + 0.3 * np.eye(n)
+    c = rng.standard_normal(n)
+
+    lvar = np.zeros(n)
+    uvar = np.ones(n)
+    for i in fixed_variables:
+        val = rng.uniform(0.2, 0.8)
+        lvar[i] = uvar[i] = val
+
+    if m > 0:
+        A = rng.standard_normal((m, n)) / np.sqrt(n)
+        rhs = A @ rng.uniform(0.25, 0.75, size=n)
+        lcon = np.full(m, -np.inf)
+        ucon = np.full(m, np.inf)
+        for i in range(m):
+            kind = i % 3
+            if i in equality_cons or kind == 0:
+                lcon[i] = ucon[i] = rhs[i]
+            elif kind == 1:
+                ucon[i] = rhs[i] + 0.1
+            else:
+                lcon[i] = rhs[i] - 0.1
+        for i in equality_cons:
+            lcon[i] = ucon[i] = rhs[i]
+    else:
+        A = np.zeros((0, n))
+        lcon = np.zeros(0)
+        ucon = np.zeros(0)
+
+    return QuadraticProblem(
+        c=c,
+        H=sp.csr_matrix(Q),
+        A=sp.csr_matrix(A),
+        lcon=lcon,
+        ucon=ucon,
+        lvar=lvar,
+        uvar=uvar,
+        x0=np.full(n, 0.5),
+        name=f"dense_dummy_qp_{n}_{m}",
+    )
+
+
+def simple_lp() -> QuadraticProblem:
+    """The reference's 2-variable degenerate LP (test/runtests.jl:24-55):
+    min x1 + x2 s.t. x1 + x2 = 1, x >= 0."""
+    return from_coo(
+        c=[1.0, 1.0],
+        Arows=[0, 0],
+        Acols=[0, 1],
+        Avals=[1.0, 1.0],
+        lcon=[1.0],
+        ucon=[1.0],
+        lvar=[0.0, 0.0],
+        uvar=[np.inf, np.inf],
+        x0=[1.0, 1.0],
+        name="simpleLP",
+    )
+
+
+def random_lp(n: int = 50, m: int = 20, seed: int = 0) -> QuadraticProblem:
+    """Random standard-form-ish LP with a known feasible interior point."""
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n))
+    x_feas = rng.uniform(0.5, 1.5, size=n)
+    b = A @ x_feas
+    c = rng.standard_normal(n) + 2.0
+    return QuadraticProblem(
+        c=c,
+        A=sp.csr_matrix(A),
+        lcon=b,
+        ucon=b,
+        lvar=np.zeros(n),
+        uvar=np.full(n, np.inf),
+        name=f"random_lp_{n}_{m}",
+    )
+
+
+def random_qp(n: int = 100, m: int = 50, seed: int = 0, ineq: bool = True) -> QuadraticProblem:
+    """Random dense convex QP with equality + optional inequality rows."""
+    rng = np.random.default_rng(seed)
+    P = rng.standard_normal((n, n)) / np.sqrt(n)
+    Q = P.T @ P + 0.1 * np.eye(n)
+    c = rng.standard_normal(n)
+    A = rng.standard_normal((m, n)) / np.sqrt(n)
+    x_feas = rng.uniform(-1.0, 1.0, size=n)
+    rhs = A @ x_feas
+    if ineq and m >= 2:
+        half = m // 2
+        lcon = np.concatenate([rhs[:half], rhs[half:] - 0.5])
+        ucon = np.concatenate([rhs[:half], np.full(m - half, np.inf)])
+    else:
+        lcon = ucon = rhs
+    return QuadraticProblem(
+        c=c,
+        H=sp.csr_matrix(Q),
+        A=sp.csr_matrix(A),
+        lcon=lcon,
+        ucon=ucon,
+        lvar=np.full(n, -5.0),
+        uvar=np.full(n, 5.0),
+        name=f"random_qp_{n}_{m}",
+    )

@@ -1,0 +1,234 @@
+"""Batched QP solving: vmap over padded instances, sharded over a mesh.
+
+This is the TPU-idiomatic scale-out absent from the reference (SURVEY §2.5:
+"batched-instance parallelism = vmap over padded QP batches + shard over
+mesh", BASELINE config #4).  Instances are padded to a common internal shape:
+
+  * padding variables get c = 0, unit Hessian diagonal (QP), box bounds
+    [-1, 1] so their barrier terms keep the condensed diagonal positive;
+  * padding constraint rows pin one padding variable each (x_pad = 0), so
+    the Schur complement stays nonsingular;
+  * convergence masking is inherited from the vmapped lax.while_loop: lanes
+    whose status leaves RUNNING stop updating while the rest iterate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.qp import QuadraticProblem, StandardQP, TransformInfo, build_standard_form
+from ..solver.mpc import MPCKernel
+from ..solver.state import ProblemArrays
+from ..solver import state as S
+from ..utils import Counters, ExecutionStats, Status, load_options
+from ..utils.options import IPMOptions
+
+_STATUS_MAP = {
+    S.SUCCESS: Status.SOLVE_SUCCEEDED,
+    S.MAX_ITER: Status.MAXIMUM_ITERATIONS_EXCEEDED,
+    S.STEP_ERROR: Status.ERROR_IN_STEP_COMPUTATION,
+    S.RUNNING: Status.REGULAR,
+}
+
+
+def pad_standard(
+    std: StandardQP, x0, y0, n_tot: int, m_tot: int, force_H: bool
+) -> tuple[StandardQP, np.ndarray, np.ndarray]:
+    """Pad one internal standard form to (n_tot, m_tot)."""
+    n, m = std.n, std.m
+    nd, md = n_tot - n, m_tot - m
+    assert nd >= md, "need one padding variable per padding row"
+
+    c = np.concatenate([std.c, np.zeros(nd)])
+    b = np.concatenate([std.b, np.zeros(md)])
+    A = np.zeros((m_tot, n_tot))
+    A[:m, :n] = std.A
+    # Pin the first md padding variables with the padding rows.
+    for j in range(md):
+        A[m + j, n + j] = 1.0
+
+    H = None
+    if force_H:
+        H = np.zeros((n_tot, n_tot))
+        if std.H is not None:
+            H[:n, :n] = std.H
+        # Unit curvature on padding variables keeps W well-conditioned.
+        for j in range(nd):
+            H[n + j, n + j] = 1.0
+
+    lb = np.concatenate([std.lb, np.full(nd, -1.0)])
+    ub = np.concatenate([std.ub, np.full(nd, 1.0)])
+    has_lb = np.concatenate([std.has_lb, np.full(nd, True)])
+    has_ub = np.concatenate([std.has_ub, np.full(nd, True)])
+
+    padded = StandardQP(
+        c0=std.c0, c=c, H=H, A=A, b=b,
+        lb=lb, ub=ub, has_lb=has_lb, has_ub=has_ub,
+    )
+    x0p = np.concatenate([x0, np.zeros(nd)])
+    y0p = np.concatenate([y0, np.zeros(md)])
+    return padded, x0p, y0p
+
+
+@dataclasses.dataclass
+class BatchedMPCSolver:
+    """Solve a batch of QPs in lockstep on one or many devices."""
+
+    prob: ProblemArrays          # leading batch axis on every leaf
+    x0: jax.Array
+    y0: jax.Array
+    lb: jax.Array
+    ub: jax.Array
+    infos: List[TransformInfo]
+    qps: List[QuadraticProblem]
+    opts: IPMOptions
+    n_real: int                  # instances before batch padding
+    mesh: Optional[Mesh] = None
+    batch_axis: str = "batch"
+
+    @classmethod
+    def from_problems(
+        cls,
+        qps: Sequence[QuadraticProblem],
+        mesh: Optional[Mesh] = None,
+        batch_axis: str = "batch",
+        **options,
+    ) -> "BatchedMPCSolver":
+        opts, _ = load_options(**options)
+        built = [
+            build_standard_form(qp, scaling=opts.scaling, max_gradient=opts.max_gradient)
+            for qp in qps
+        ]
+        stds = [b[0] for b in built]
+        infos = [b[1] for b in built]
+        x0s = [b[2] for b in built]
+        y0s = [b[3] for b in built]
+
+        m_tot = max(s.m for s in stds)
+        n_tot = max(s.n + (m_tot - s.m) for s in stds)
+        force_H = any(s.H is not None for s in stds)
+
+        padded = [
+            pad_standard(s, x, y, n_tot, m_tot, force_H)
+            for s, x, y in zip(stds, x0s, y0s)
+        ]
+
+        n_real = len(qps)
+        n_dev = mesh.devices.size if mesh is not None else 1
+        # Round the batch up to a multiple of the mesh size.
+        while len(padded) % n_dev != 0:
+            padded.append(padded[-1])
+
+        dtype = jnp.dtype(opts.dtype)
+        stack = lambda xs: jnp.asarray(np.stack(xs), dtype)
+        prob = ProblemArrays(
+            c0=stack([p.c0 for p, _, _ in padded]),
+            c=stack([p.c for p, _, _ in padded]),
+            H=stack([p.H for p, _, _ in padded]) if force_H else None,
+            A=stack([p.A for p, _, _ in padded]),
+            b=stack([p.b for p, _, _ in padded]),
+            has_lb=jnp.asarray(np.stack([p.has_lb for p, _, _ in padded])),
+            has_ub=jnp.asarray(np.stack([p.has_ub for p, _, _ in padded])),
+        )
+        x0 = stack([x for _, x, _ in padded])
+        y0 = stack([y for _, _, y in padded])
+        lb = stack([p.lb for p, _, _ in padded])
+        ub = stack([p.ub for p, _, _ in padded])
+
+        solver = cls(
+            prob=prob, x0=x0, y0=y0, lb=lb, ub=ub,
+            infos=infos, qps=list(qps), opts=opts, n_real=n_real,
+            mesh=mesh, batch_axis=batch_axis,
+        )
+        solver._compile()
+        return solver
+
+    def _compile(self):
+        kernel = MPCKernel(self.opts)
+        batched = jax.vmap(kernel.solve_from)
+        if self.mesh is not None:
+            # shard_map over the batch axis: each device runs the vmapped
+            # solver on its local sub-batch — embarrassingly parallel, no
+            # collectives (SURVEY §7.2 M5).
+            spec = P(self.batch_axis)
+            # check_vma off: the computation is purely local per shard (no
+            # collectives), but lax.cond branches mix freshly-created
+            # (unvarying) and input-derived (varying) leaves of the state.
+            sharded = jax.shard_map(
+                batched, mesh=self.mesh, in_specs=spec, out_specs=spec,
+                check_vma=False,
+            )
+            shard = NamedSharding(self.mesh, spec)
+            shard_tree = lambda tree: jax.tree.map(
+                lambda x: jax.device_put(x, shard), tree
+            )
+            self.prob = shard_tree(self.prob)
+            self.x0, self.y0 = shard_tree((self.x0, self.y0))
+            self.lb, self.ub = shard_tree((self.lb, self.ub))
+            self._solve = jax.jit(sharded)
+        else:
+            self._solve = jax.jit(batched)
+
+    def solve_batch(self):
+        """Run all instances; returns the stacked final IPMState."""
+        final = self._solve(self.prob, self.x0, self.y0, self.lb, self.ub)
+        jax.block_until_ready(final)
+        return final
+
+    def solve_all(self) -> List[ExecutionStats]:
+        """Solve and unpack per-instance ExecutionStats (real instances only)."""
+        import time
+
+        t0 = time.time()
+        final = self.solve_batch()
+        wall = time.time() - t0
+        # Pull the (possibly sharded) final state to host before unpacking.
+        final = jax.device_get(final)
+        out = []
+        for i in range(self.n_real):
+            info = self.infos[i]
+            qp = self.qps[i]
+            x_int = np.asarray(final.x[i], dtype=np.float64)[: info.n]
+            y_int = np.asarray(final.y[i], dtype=np.float64)[: info.m]
+            zl_int = np.asarray(final.zl[i], dtype=np.float64)[: info.n]
+            zu_int = np.asarray(final.zu[i], dtype=np.float64)[: info.n]
+            x_user = info.recover_x(x_int)
+            y_user = info.recover_y(y_int)
+            g_user = qp.grad(x_user)
+            r_fix = g_user + qp.jtprod(y_user)
+            zl_user = info.recover_z(zl_int, np.maximum(r_fix, 0.0))
+            zu_user = info.recover_z(zu_int, np.maximum(-r_fix, 0.0))
+            cnt = Counters(total_time=wall, k=int(final.k[i]))
+            out.append(
+                ExecutionStats(
+                    status=_STATUS_MAP.get(int(final.status[i]), Status.INTERNAL_ERROR),
+                    objective=float(qp.obj(x_user)),
+                    solution=x_user,
+                    constraints=qp.cons(x_user),
+                    multipliers=y_user,
+                    multipliers_L=zl_user,
+                    multipliers_U=zu_user,
+                    iter=int(final.k[i]),
+                    counters=cnt,
+                    primal_feas=float(final.inf_pr[i]),
+                    dual_feas=float(final.inf_du[i]),
+                    complementarity=float(final.inf_compl[i]),
+                    options=self.opts,
+                )
+            )
+        return out
+
+
+def solve_batched(
+    qps: Sequence[QuadraticProblem],
+    mesh: Optional[Mesh] = None,
+    **options,
+) -> List[ExecutionStats]:
+    """Convenience wrapper: batch-solve a list of QPs."""
+    return BatchedMPCSolver.from_problems(qps, mesh=mesh, **options).solve_all()

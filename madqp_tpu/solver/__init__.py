@@ -1,0 +1,13 @@
+from .state import IPMState, ProblemArrays, problem_to_device, count_onesided
+from .mpc import MPCKernel
+from .driver import MPCSolver, solve
+
+__all__ = [
+    "IPMState",
+    "ProblemArrays",
+    "problem_to_device",
+    "count_onesided",
+    "MPCKernel",
+    "MPCSolver",
+    "solve",
+]

@@ -1,0 +1,217 @@
+"""User-facing solver driver: MPCSolver + solve().
+
+Equivalent of the reference's `MPCSolver(nlp; kwargs...)` constructor
+(src/structure.jl:77-176) and `solve!` driver (src/solver.jl:347-403):
+banner, initialization, MPC loop, exception -> status taxonomy, timing,
+summary print and stats object.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.qp import QuadraticProblem, build_standard_form
+from ..utils import (
+    ExecutionStats,
+    Counters,
+    MadLogger,
+    MadQPError,
+    Status,
+    get_status_output,
+    load_options,
+)
+from ..utils.logger import DEBUG, ERROR, INFO, NOTICE
+from ..utils.options import IPMOptions, KKTSystem
+from . import state as S
+from .mpc import MPCKernel
+
+_STATUS_MAP = {
+    S.SUCCESS: Status.SOLVE_SUCCEEDED,
+    S.MAX_ITER: Status.MAXIMUM_ITERATIONS_EXCEEDED,
+    S.STEP_ERROR: Status.ERROR_IN_STEP_COMPUTATION,
+    S.DIVERGED: Status.INFEASIBLE_PROBLEM_DETECTED,
+    S.RUNNING: Status.REGULAR,
+}
+
+
+class MPCSolver:
+    """Mehrotra predictor-corrector interior-point solver for LP/QP on TPU."""
+
+    def __init__(self, qp: QuadraticProblem, **kwargs):
+        self.qp = qp
+        opts, ignored = load_options(**kwargs)
+        self.opts = opts
+        self.logger = MadLogger(
+            print_level=opts.print_level,
+            file_print_level=opts.file_print_level,
+            output_file=opts.output_file,
+        )
+        if ignored:
+            self.logger.print_ignored_options(ignored)
+
+        if opts.kkt_system == KKTSystem.NORMAL and not qp.is_lp:
+            raise ValueError(
+                "NormalKKT supports only linear programs "
+                "(reference normalkkt.jl:45-48)."
+            )
+
+        t0 = time.time()
+        self.std, self.info, x0_int, y0_int = build_standard_form(
+            qp, scaling=opts.scaling, max_gradient=opts.max_gradient
+        )
+        dtype = jnp.dtype(opts.dtype)
+        self.prob, lb, ub = S.problem_to_device(self.std, dtype)
+        self._lb0, self._ub0 = lb, ub
+        self._x0 = jnp.asarray(x0_int, dtype)
+        self._y0 = jnp.asarray(y0_int, dtype)
+
+        self.kernel = MPCKernel(opts)
+        self._solve_jit = jax.jit(self.kernel.solve_from)
+        self._iter_jit = jax.jit(self.kernel.iteration)
+        self._init_jit = jax.jit(self.kernel.init_state)
+        self.cnt = Counters(start_time=t0, init_time=time.time() - t0)
+
+    # ------------------------------------------------------------------
+
+    def solve(self, **kwargs) -> ExecutionStats:
+        """Run the solve (reference solve!, src/solver.jl:347-403)."""
+        if kwargs:
+            # Solve-time option overrides force a re-trace.
+            opts, ignored = load_options(
+                **{**_opts_dict(self.opts), **kwargs}
+            )
+            if ignored:
+                self.logger.print_ignored_options(ignored)
+            self.opts = opts
+            self.kernel = MPCKernel(opts)
+            self._solve_jit = jax.jit(self.kernel.solve_from)
+            self._iter_jit = jax.jit(self.kernel.iteration)
+            self._init_jit = jax.jit(self.kernel.init_state)
+
+        cnt = self.cnt
+        cnt.start_time = time.time()
+        self.logger.notice(
+            f"This is MadQP-TPU, running with {self.kernel.kkt.name} KKT "
+            f"({self.opts.linear_solver} backend, dtype={self.opts.dtype})\n"
+        )
+        status = Status.INTERNAL_ERROR
+        final = None
+        # Per-iteration logging requires host-driven stepping: host callbacks
+        # are unsupported on the axon TPU runtime (and ordered callbacks
+        # deadlock inside while_loop on CPU), so a verbose solve mirrors the
+        # reference's host-side print loop.
+        use_python_loop = (
+            self.opts.loop_mode == "python" or self.opts.print_level <= INFO
+        )
+        try:
+            if use_python_loop:
+                final = self._run_python_loop()
+            else:
+                final = self._solve_jit(
+                    self.prob, self._x0, self._y0, self._lb0, self._ub0
+                )
+                jax.block_until_ready(final)
+            status = _STATUS_MAP.get(int(final.status), Status.INTERNAL_ERROR)
+        except MadQPError as e:
+            status = e.status
+            if self.opts.rethrow_error:
+                raise
+        finally:
+            cnt.total_time = time.time() - cnt.start_time
+            self.logger.notice(f"EXIT: {get_status_output(status)}")
+
+        return self._build_stats(final, status)
+
+    def _run_python_loop(self):
+        """Host-driven stepping with the reference's 9-column iteration line
+        (src/structure.jl:178-195).  The line for iterate k mixes the freshly
+        computed residuals (stored by the iteration) with the *previous*
+        step's mu, ||d||, regularization and step sizes — exactly matching
+        the reference's print-before-step ordering."""
+        verbose = self.opts.print_level <= INFO
+        scale = self.info.obj_scale
+        state = self._init_jit(self.prob, self._x0, self._y0, self._lb0, self._ub0)
+        while int(state.status) == S.RUNNING:
+            prev = state
+            state = self._iter_jit(self.prob, prev)
+            if verbose:
+                self.logger.print_iter(
+                    int(prev.k),
+                    float(state.obj_val) / scale,
+                    float(state.inf_pr),
+                    float(state.inf_du),
+                    float(prev.mu),
+                    float(prev.d_norm),
+                    float(prev.del_w),
+                    float(prev.alpha_d),
+                    float(prev.alpha_p),
+                )
+        return state
+
+    # ------------------------------------------------------------------
+
+    def _build_stats(self, final, status: Status) -> ExecutionStats:
+        info = self.info
+        cnt = self.cnt
+        if final is None:
+            nan = float("nan")
+            empty = np.full(info.nvar, nan)
+            return ExecutionStats(
+                status=status, objective=nan, solution=empty,
+                constraints=np.full(info.ncon, nan), multipliers=np.full(info.ncon, nan),
+                multipliers_L=empty, multipliers_U=empty,
+                iter=0, counters=cnt, options=self.opts,
+            )
+        cnt.k = int(final.k)
+        cnt.factorizations = int(final.n_fact)
+        cnt.backsolves = int(final.n_solve)
+
+        x_int = np.asarray(final.x, dtype=np.float64)
+        y_int = np.asarray(final.y, dtype=np.float64)
+        zl_int = np.asarray(final.zl, dtype=np.float64)
+        zu_int = np.asarray(final.zu, dtype=np.float64)
+
+        x_user = info.recover_x(x_int)
+        y_user = info.recover_y(y_int)
+        # Fixed variables report their reduced cost as bound multipliers.
+        g_user = self.qp.grad(x_user)
+        r_fix = g_user + self.qp.jtprod(y_user)
+        zl_fill = np.maximum(r_fix, 0.0)
+        zu_fill = np.maximum(-r_fix, 0.0)
+        zl_user = info.recover_z(zl_int, zl_fill)
+        zu_user = info.recover_z(zu_int, zu_fill)
+
+        objective = self.qp.obj(x_user)
+        constraints = self.qp.cons(x_user)
+
+        return ExecutionStats(
+            status=status,
+            objective=float(objective),
+            solution=x_user,
+            constraints=constraints,
+            multipliers=y_user,
+            multipliers_L=zl_user,
+            multipliers_U=zu_user,
+            iter=int(final.k),
+            counters=cnt,
+            primal_feas=float(final.inf_pr),
+            dual_feas=float(final.inf_du),
+            complementarity=float(final.inf_compl),
+            options=self.opts,
+        )
+
+
+def _opts_dict(opts: IPMOptions) -> dict:
+    import dataclasses
+
+    return {f.name: getattr(opts, f.name) for f in dataclasses.fields(opts)}
+
+
+def solve(qp: QuadraticProblem, **kwargs) -> ExecutionStats:
+    """One-shot convenience: build an MPCSolver and run it."""
+    return MPCSolver(qp, **kwargs).solve()

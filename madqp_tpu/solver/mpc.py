@@ -1,0 +1,407 @@
+"""The Mehrotra predictor-corrector core as pure jittable functions.
+
+Functional re-design of the reference's mpc! loop (src/solver.jl:188-345)
+and starting point (src/solver.jl:6-125): one `iteration(prob, state) ->
+state` containing factorization, predictor, barrier update, corrector,
+optional Gondzio multi-corrections, step rule and iterate update — driven by
+`lax.while_loop` so the entire solve is a single XLA computation with no
+host round-trips (SURVEY §3.4: scalar decisions stay on device).
+
+The problem data is an explicit argument (not closed-over state) so the same
+kernel vmaps over batched problem pytrees and shards over a device mesh
+(SURVEY §2.5: batched-instance data parallelism).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import kernels as K
+from ..ops.kkt import make_kkt, kkt_mul
+from ..utils.options import (
+    IPMOptions,
+    AdaptiveRegularization,
+    AdaptiveStep,
+    ConservativeStep,
+    FixedRegularization,
+    MehrotraAdaptiveStep,
+    NoRegularization,
+)
+from .state import (
+    IPMState,
+    MAX_ITER,
+    ProblemArrays,
+    RUNNING,
+    STEP_ERROR,
+    SUCCESS,
+)
+
+_MAX_FACT_TRIALS = 3      # reference src/linear_solver.jl:7
+_REG_ESCALATION = 100.0   # reference src/linear_solver.jl:14-15
+_GONDZIO_DELTA = 0.1      # reference src/solver.jl:201-205
+_GONDZIO_BETA_MIN = 0.1
+_GONDZIO_BETA_MAX = 10.0
+_GONDZIO_TAU = 0.995
+_GONDZIO_ACCEPT = 1.005   # reference src/solver.jl:241
+
+
+def _tree_select(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+class MPCKernel:
+    """Traced MPC solver: static options + pure methods over problem pytrees."""
+
+    def __init__(self, opts: IPMOptions):
+        self.opts = opts
+        self.kkt = make_kkt(opts.kkt_system)
+        self.dtype = jnp.dtype(opts.dtype)
+        self.eps = float(jnp.finfo(self.dtype).eps)
+
+    # -- model callbacks (dense; reference L3 eval wrappers) ----------------
+
+    def objective(self, p: ProblemArrays, x):
+        val = p.c0 + jnp.dot(p.c, x)
+        if p.H is not None:
+            val = val + 0.5 * jnp.dot(x, p.H @ x)
+        return val
+
+    def gradient(self, p: ProblemArrays, x):
+        return p.c if p.H is None else p.c + p.H @ x
+
+    def cons_residual(self, p: ProblemArrays, x):
+        return p.A @ x - p.b
+
+    def jtprod(self, p: ProblemArrays, y):
+        return p.A.T @ y
+
+    # -- linear algebra -----------------------------------------------------
+
+    def _factorize(self, p, x, lb, ub, zl, zu, del_w, del_c):
+        pr_diag = K.sigma_diagonal(x, lb, ub, p.has_lb, p.has_ub, zl, zu, del_w)
+        f = self.kkt.factorize(p.H, p.A, pr_diag, del_c)
+        return f, self.kkt.factor_ok(f)
+
+    def factorize_with_retry(self, p, x, lb, ub, zl, zu, del_w, del_c):
+        """Factorize; on failure escalate both regularizations by 100x, up
+        to 3 trials (reference factorize_regularized_system!)."""
+        f0, ok0 = self._factorize(p, x, lb, ub, zl, zu, del_w, del_c)
+
+        def cond(carry):
+            trial, _, _, _, ok = carry
+            return jnp.logical_and(~ok, trial < _MAX_FACT_TRIALS)
+
+        def body(carry):
+            trial, dw, dc, _, _ = carry
+            dw = dw * _REG_ESCALATION
+            dc = dc * _REG_ESCALATION
+            f, ok = self._factorize(p, x, lb, ub, zl, zu, dw, dc)
+            return (trial + 1, dw, dc, f, ok)
+
+        trial, dw, dc, f, ok = lax.while_loop(
+            cond, body, (jnp.int32(1), del_w, del_c, f0, ok0)
+        )
+        return f, dw, dc, ok
+
+    def solve_system(self, p, factors, p_rhs, x, lb, ub, zl, zu, del_w, del_c):
+        """Unreduced KKT solve + residual check
+        (reference solve_system!, src/linear_solver.jl:19-45).
+
+        Returns (d, ok): ok is False when the residual ratio is NaN, or —
+        with check_residual — exceeds tol_linear_solve.
+        """
+        masks = (p.has_lb, p.has_ub)
+
+        def backsolve(rhs):
+            rx, ry = K.reduce_rhs(rhs, x, lb, ub, *masks)
+            dx, dy = self.kkt.solve(factors, rx, ry)
+            dzl, dzu = K.recover_bound_duals(rhs, dx, x, lb, ub, *masks, zl, zu)
+            return K.KKTVec(x=dx, y=dy, zl=dzl, zu=dzu)
+
+        def residual(d):
+            Kd = kkt_mul(
+                p.H, p.A, del_w, del_c, x, lb, ub, *masks, zl, zu, d
+            )
+            return jax.tree.map(lambda a, b: a - b, p_rhs, Kd)
+
+        d = backsolve(p_rhs)
+        for _ in range(self.opts.max_refine_steps):
+            d = jax.tree.map(lambda a, b: a + b, d, backsolve(residual(d)))
+
+        w = residual(d)
+        ratio = w.flat_inf_norm() / jnp.maximum(1.0, p_rhs.flat_inf_norm())
+        ok = ~jnp.isnan(ratio)
+        if self.opts.check_residual:
+            ok = ok & (ratio <= self.opts.tol_linear_solve)
+        return d, ok
+
+    # -- regularization policy (src/kernels.jl:380-417) ---------------------
+
+    def _init_regularization(self):
+        reg = self.opts.regularization
+        one = jnp.asarray(1.0, self.dtype)
+        zero = jnp.asarray(0.0, self.dtype)
+        if isinstance(reg, NoRegularization):
+            return one, zero, zero, zero
+        dd = jnp.asarray(reg.delta_d, self.dtype)
+        dp = jnp.asarray(reg.delta_p, self.dtype)
+        return one, dd, dp, dd
+
+    def _update_regularization(self, state: IPMState):
+        reg = self.opts.regularization
+        if isinstance(reg, NoRegularization):
+            zero = jnp.asarray(0.0, self.dtype)
+            return zero, zero, state.reg_p, state.reg_d
+        if isinstance(reg, FixedRegularization):
+            return (
+                jnp.asarray(reg.delta_p, self.dtype),
+                jnp.asarray(reg.delta_d, self.dtype),
+                state.reg_p,
+                state.reg_d,
+            )
+        assert isinstance(reg, AdaptiveRegularization)
+        new_p = jnp.maximum(state.reg_p / 10.0, reg.delta_min)
+        new_d = jnp.minimum(state.reg_d / 10.0, -reg.delta_min)
+        return new_p, new_d, new_p, new_d
+
+    # -- step rule (src/kernels.jl:307-374) ----------------------------------
+
+    def _step_rule(self, p, d, x, lb, ub, zl, zu, mu):
+        rule = self.opts.step_rule
+        args = (d, x, lb, ub, p.has_lb, p.has_ub, zl, zu)
+        if isinstance(rule, ConservativeStep):
+            return K.fraction_to_boundary(*args, rule.tau)
+        if isinstance(rule, AdaptiveStep):
+            tau = jnp.maximum(1.0 - mu, rule.tau_min)
+            return K.fraction_to_boundary(*args, tau)
+        assert isinstance(rule, MehrotraAdaptiveStep)
+        return K.step_mehrotra_adaptive(
+            d, x, lb, ub, p.has_lb, p.has_ub, zl, zu, mu, rule.gamma_f
+        )
+
+    # -- Gondzio multi-corrections (src/solver.jl:200-251) -------------------
+
+    def _gondzio(self, p, factors, d, corr_lb, corr_ub, mu_curr, g, jacl,
+                 c_res, x, lb, ub, zl, zu, del_w, del_c):
+        masks = (p.has_lb, p.has_ub)
+        alpha_p, alpha_d = K.fraction_to_boundary(
+            d, x, lb, ub, *masks, zl, zu, _GONDZIO_TAU
+        )
+        active = jnp.asarray(True)
+        failed = jnp.asarray(False)
+
+        for _ in range(self.opts.max_ncorr):
+            tilde_p = jnp.minimum(alpha_p + _GONDZIO_DELTA, 1.0)
+            tilde_d = jnp.minimum(alpha_d + _GONDZIO_DELTA, 1.0)
+            ga = K.affine_complementarity_measure(
+                d, x, lb, ub, *masks, zl, zu, tilde_p, tilde_d
+            )
+            mu_g = (ga / jnp.maximum(mu_curr, 1e-300)) ** 2 * ga  # Eq. (12)
+            new_lb, new_ub = K.gondzio_extra_correction(
+                d, x, lb, ub, *masks, zl, zu, corr_lb, corr_ub,
+                tilde_p, tilde_d, _GONDZIO_BETA_MIN, _GONDZIO_BETA_MAX, mu_g,
+            )
+            p_rhs = K.correction_rhs(
+                g, jacl, c_res, x, lb, ub, *masks, zl, zu, mu_g, new_lb, new_ub
+            )
+            d_new, ok = self.solve_system(
+                p, factors, p_rhs, x, lb, ub, zl, zu, del_w, del_c
+            )
+            hat_p, hat_d = K.fraction_to_boundary(
+                d_new, x, lb, ub, *masks, zl, zu, _GONDZIO_TAU
+            )
+            accept = (
+                (hat_p >= _GONDZIO_ACCEPT * alpha_p)
+                & (hat_d >= _GONDZIO_ACCEPT * alpha_d)
+                & active
+            )
+            failed = failed | (active & ~ok)
+            d = _tree_select(accept, d_new, d)
+            corr_lb = jnp.where(accept, new_lb, corr_lb)
+            corr_ub = jnp.where(accept, new_ub, corr_ub)
+            alpha_p = jnp.where(accept, hat_p, alpha_p)
+            alpha_d = jnp.where(accept, hat_d, alpha_d)
+            active = accept
+        return d, failed
+
+    # -- one MPC iteration (src/solver.jl:254-344) ---------------------------
+
+    def iteration(self, p: ProblemArrays, state: IPMState) -> IPMState:
+        masks = (p.has_lb, p.has_ub)
+        x, y, zl, zu, lb, ub = state.x, state.y, state.zl, state.zu, state.lb, state.ub
+
+        g = self.gradient(p, x)
+        c_res = self.cons_residual(p, x)
+        jacl = self.jtprod(p, y)
+
+        obj = self.objective(p, x)
+        inf_pr = K.primal_infeasibility(c_res) / jnp.maximum(1.0, state.norm_b)
+        inf_du = K.dual_infeasibility(g, jacl, zl, zu) / jnp.maximum(
+            1.0, state.norm_c
+        )
+        inf_compl = K.optimality_gap(x, lb, ub, *masks, zl, zu) / jnp.maximum(
+            1.0, state.norm_c
+        )
+        state = state._replace(
+            obj_val=obj, inf_pr=inf_pr, inf_du=inf_du, inf_compl=inf_compl
+        )
+
+        # NOTE: per-iteration logging happens host-side in the driver's
+        # python-stepped loop; host callbacks are unsupported on the axon
+        # TPU runtime and ordered callbacks deadlock inside while_loop.
+
+        worst = jnp.maximum(jnp.maximum(inf_pr, inf_du), inf_compl)
+        new_status = jnp.where(
+            worst <= self.opts.tol,
+            SUCCESS,
+            jnp.where(state.k >= self.opts.max_iter, MAX_ITER, RUNNING),
+        ).astype(jnp.int32)
+
+        def finish(s: IPMState) -> IPMState:
+            return s._replace(status=new_status)
+
+        def work(state: IPMState) -> IPMState:
+            del_w, del_c, reg_p, reg_d = self._update_regularization(state)
+            factors, del_w, del_c, fact_ok = self.factorize_with_retry(
+                p, x, lb, ub, zl, zu, del_w, del_c
+            )
+
+            # Predictor (affine scaling).
+            p_aff = K.predictor_rhs(g, jacl, c_res, x, lb, ub, *masks, zl, zu)
+            d_aff, ok1 = self.solve_system(
+                p, factors, p_aff, x, lb, ub, zl, zu, del_w, del_c
+            )
+            a_aff_p, a_aff_d = K.fraction_to_boundary(
+                d_aff, x, lb, ub, *masks, zl, zu, 1.0
+            )
+            mu_aff = K.affine_complementarity_measure(
+                d_aff, x, lb, ub, *masks, zl, zu, a_aff_p, a_aff_d
+            )
+            corr_lb, corr_ub = K.mehrotra_correction(d_aff, *masks)
+
+            # Barrier update.  The sigma-vs-1 gate is the traced count of
+            # bounded entries (see state.count_onesided rationale).
+            mu_curr = K.complementarity_measure(x, lb, ub, *masks, zl, zu)
+            n_bounded = jnp.sum(p.has_lb) + jnp.sum(p.has_ub)
+            bar = self.opts.barrier_update
+            mu_new = K.mehrotra_barrier(
+                mu_curr, mu_aff, n_bounded, self.opts.mu_min,
+                bar.sigma_min, bar.sigma_max,
+            )
+
+            # Mehrotra corrector.
+            p_corr = K.correction_rhs(
+                g, jacl, c_res, x, lb, ub, *masks, zl, zu,
+                mu_new, corr_lb, corr_ub,
+            )
+            d, ok2 = self.solve_system(
+                p, factors, p_corr, x, lb, ub, zl, zu, del_w, del_c
+            )
+            failed = (~fact_ok) | (~ok1) | (~ok2)
+
+            # Gondzio multi-corrections.
+            if self.opts.max_ncorr > 0:
+                d, gfail = self._gondzio(
+                    p, factors, d, corr_lb, corr_ub, mu_curr, g, jacl,
+                    c_res, x, lb, ub, zl, zu, del_w, del_c,
+                )
+                failed = failed | gfail
+
+            # Step computation + iterate update.
+            alpha_p, alpha_d = self._step_rule(p, d, x, lb, ub, zl, zu, mu_new)
+            x_new = x + alpha_p * d.x
+            y_new = y + alpha_d * d.y
+            zl_new = jnp.where(p.has_lb, zl + alpha_d * d.zl, 0.0)
+            zu_new = jnp.where(p.has_ub, zu + alpha_d * d.zu, 0.0)
+            lb_new, ub_new = K.adjust_boundary(
+                x_new, lb, ub, *masks, mu_new, self.eps
+            )
+
+            new_state = state._replace(
+                x=x_new, y=y_new, zl=zl_new, zu=zu_new,
+                lb=lb_new, ub=ub_new,
+                d=d, mu=mu_new,
+                del_w=del_w, del_c=del_c, reg_p=reg_p, reg_d=reg_d,
+                alpha_p=alpha_p, alpha_d=alpha_d,
+                d_norm=K._inf_norm(d.x),
+                k=state.k + 1,
+                n_fact=state.n_fact + 1,
+                n_solve=state.n_solve + 2 + self.opts.max_ncorr,
+            )
+            return _tree_select(
+                failed, state._replace(status=jnp.int32(STEP_ERROR)), new_state
+            )
+
+        return lax.cond(new_status == RUNNING, work, finish, state)
+
+    # -- starting point (src/solver.jl:6-182) --------------------------------
+
+    def init_state(self, p: ProblemArrays, x0, y0, lb0, ub0) -> IPMState:
+        masks = (p.has_lb, p.has_ub)
+        dt = self.dtype
+        opt = self.opts
+
+        lb, ub = K.relax_bounds(lb0, ub0, *masks, opt.bound_relax_factor)
+        x = K.push_inside_bounds(
+            x0, lb, ub, *masks, opt.bound_push, opt.bound_fac
+        )
+        y = y0
+        zero_n = jnp.zeros(p.n, dt)
+
+        del_w, del_c, reg_p, reg_d = self._init_regularization()
+
+        g = self.gradient(p, x)
+        c_res = self.cons_residual(p, x)
+        norm_b = K._inf_norm(p.b)
+        norm_c = K._inf_norm(g)
+
+        # Initial KKT: pr_diag = del_w exactly (reference src/solver.jl:16-18
+        # — no barrier terms in the starting-point system).
+        pr_diag = jnp.full(p.n, 1.0, dt) * del_w
+        factors = self.kkt.factorize(p.H, p.A, pr_diag, del_c)
+
+        # Step 1: primal least squares x += dx with A dx ~ (b - A x).
+        dx, _ = self.kkt.solve(factors, zero_n, -c_res)
+        x = x + dx
+        # Step 2: dual least squares A' y ~ -g.
+        _, dy = self.kkt.solve(factors, -g, jnp.zeros(p.m, dt))
+        y = dy
+        # Step 3: bound duals from the dual residual r = g + A'y.
+        r = g + self.jtprod(p, y)
+        ones_n = jnp.ones(p.n, dt)
+        zl, zu = K.init_bound_duals(r, *masks, ones_n, ones_n)
+        # Positivity + second-order shifts, then Ipopt projection.
+        x, zl, zu = K.mehrotra_positivity_shift(x, lb, ub, *masks, zl, zu)
+        x = K.project_bound_fac(x, lb, ub, *masks, opt.bound_fac)
+
+        zero = jnp.asarray(0.0, dt)
+        return IPMState(
+            x=x, y=y, zl=zl, zu=zu, lb=lb, ub=ub,
+            d=K.KKTVec(x=zero_n, y=jnp.zeros(p.m, dt), zl=zero_n, zu=zero_n),
+            mu=jnp.asarray(opt.mu_init, dt),
+            del_w=del_w, del_c=del_c, reg_p=reg_p, reg_d=reg_d,
+            alpha_p=jnp.asarray(1.0, dt), alpha_d=jnp.asarray(1.0, dt),
+            obj_val=self.objective(p, x),
+            inf_pr=zero, inf_du=zero, inf_compl=zero,
+            d_norm=zero, norm_b=norm_b, norm_c=norm_c,
+            k=jnp.int32(0), n_fact=jnp.int32(1), n_solve=jnp.int32(2),
+            status=jnp.int32(RUNNING),
+        )
+
+    # -- drivers -------------------------------------------------------------
+
+    def run(self, p: ProblemArrays, state: IPMState) -> IPMState:
+        """Full solve under lax.while_loop (jit this)."""
+        return lax.while_loop(
+            lambda s: s.status == RUNNING,
+            lambda s: self.iteration(p, s),
+            state,
+        )
+
+    def solve_from(self, p: ProblemArrays, x0, y0, lb0, ub0) -> IPMState:
+        """init + run as a single traced computation."""
+        return self.run(p, self.init_state(p, x0, y0, lb0, ub0))

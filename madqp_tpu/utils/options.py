@@ -1,0 +1,180 @@
+"""Typed option system and policy objects.
+
+TPU-native equivalent of the reference option cascade
+(/root/reference/src/utils.jl:69-146): a frozen dataclass of solver options
+with policy objects (step rule, regularization, barrier update) passed as
+*values*.  Frozen/hashable so the whole options object can be a static
+argument to `jax.jit` — the policy dispatch happens at trace time, exactly
+like Julia's dispatch-on-type happens at compile time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Problem classes (reference: src/utils.jl:1-4)
+# ---------------------------------------------------------------------------
+
+
+class ProblemClass:
+    LINEAR = "lp"
+    QUADRATIC = "qp"
+
+
+# ---------------------------------------------------------------------------
+# Barrier update policies (reference: src/utils.jl:10-11)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Mehrotra:
+    """Mehrotra adaptive centering: sigma = clamp((mu_aff/mu)^3, 1e-6, 10).
+
+    For pure LPs without inequalities the reference forces sigma = 1
+    (src/kernels.jl:226-236).
+    """
+
+    sigma_min: float = 1e-6
+    sigma_max: float = 10.0
+
+
+# ---------------------------------------------------------------------------
+# Step rules (reference: src/utils.jl:17-29, impls src/kernels.jl:307-374)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ConservativeStep:
+    """Fixed fraction-to-boundary factor tau."""
+
+    tau: float = 0.995
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveStep:
+    """tau = max(1 - mu, tau_min)."""
+
+    tau_min: float = 0.99
+
+
+@dataclasses.dataclass(frozen=True)
+class MehrotraAdaptiveStep:
+    """Mehrotra's GTSF procedure (per-blocking-index rescue of alpha)."""
+
+    gamma_f: float = 0.99
+
+
+StepRule = ConservativeStep | AdaptiveStep | MehrotraAdaptiveStep
+
+
+# ---------------------------------------------------------------------------
+# Regularization policies (reference: src/utils.jl:35-48, src/kernels.jl:380-417)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class NoRegularization:
+    """del_w = 1 at init (for the starting-point KKT), 0 in the loop."""
+
+
+@dataclasses.dataclass(frozen=True)
+class FixedRegularization:
+    """Constant primal delta_p >= 0 and dual delta_d <= 0 regularization."""
+
+    delta_p: float = 1e-8
+    delta_d: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveRegularization:
+    """Divide both deltas by 10 each iteration, floored at delta_min."""
+
+    delta_p: float = 1e-8
+    delta_d: float = -1e-9
+    delta_min: float = 1e-9
+
+
+Regularization = NoRegularization | FixedRegularization | AdaptiveRegularization
+
+
+# ---------------------------------------------------------------------------
+# KKT formulation / linear solver selection
+# ---------------------------------------------------------------------------
+
+
+class KKTSystem:
+    """Names of the KKT formulations (reference SURVEY §2.3)."""
+
+    K2 = "k2"                  # augmented symmetric-indefinite system
+    K2_5 = "k2.5"              # diagonally scaled augmented system
+    CONDENSED = "condensed"    # eliminate bound duals + primal block (SPD Schur)
+    NORMAL = "normal"          # normal equations A Sigma^-1 A^T (LP only)
+
+
+class LinearSolverBackend:
+    DENSE = "dense"            # padded dense factorization (lax.linalg / Pallas)
+    PALLAS = "pallas"          # Pallas blocked kernels
+    SPARSE = "sparse"          # host symbolic + on-device numeric (block sparse)
+
+
+# ---------------------------------------------------------------------------
+# Main options (reference: IPMOptions, src/utils.jl:69-117)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class IPMOptions:
+    # Convergence
+    tol: float = 1e-8
+    max_iter: int = 3000
+    kappa_d: float = 1e-5
+    # KKT / linear solver
+    kkt_system: str = KKTSystem.CONDENSED
+    linear_solver: str = LinearSolverBackend.DENSE
+    tol_linear_solve: float = 1e-8
+    check_residual: bool = False
+    max_refine_steps: int = 0   # iterative-refinement rounds per backsolve
+    # Output
+    print_level: int = 20       # logging.INFO
+    file_print_level: int = 20
+    output_file: str = ""
+    rethrow_error: bool = False
+    # Initialization
+    scaling: bool = True
+    max_gradient: float = 100.0
+    bound_push: float = 1e-2
+    bound_fac: float = 1e-2
+    bound_relax_factor: float = 1e-8
+    # Policies
+    regularization: Regularization = FixedRegularization(1e-8, 0.0)
+    step_rule: StepRule = AdaptiveStep(0.99)
+    barrier_update: Mehrotra = Mehrotra()
+    max_ncorr: int = 0          # Gondzio multi-corrections
+    s_max: float = 100.0
+    mu_init: float = 1e-1
+    mu_min: float = 1e-11
+    mu_superlinear_decrease_power: float = 1.5
+    tau_min: float = 0.99
+    # Numerics (TPU-specific): dtype of the on-device solve.
+    dtype: str = "float64"
+    # Execution mode: "jit" runs the whole solve in one lax.while_loop;
+    # "python" steps iterations from the host (debuggable, prints eagerly).
+    loop_mode: str = "jit"
+
+    def replace(self, **kwargs) -> "IPMOptions":
+        return dataclasses.replace(self, **kwargs)
+
+
+def load_options(**kwargs) -> Tuple[IPMOptions, dict]:
+    """Build IPMOptions from kwargs; return (options, ignored_kwargs).
+
+    Mirrors the reference's cascade (src/utils.jl:119-146): recognized keys
+    set IPMOptions fields, leftovers are returned for the caller to log as
+    ignored.
+    """
+    fields = {f.name for f in dataclasses.fields(IPMOptions)}
+    known = {k: v for k, v in kwargs.items() if k in fields}
+    ignored = {k: v for k, v in kwargs.items() if k not in fields}
+    return IPMOptions(**known), ignored

@@ -1,0 +1,80 @@
+"""Batched/sharded solver tests on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+import madqp_tpu as mq
+from madqp_tpu import Status
+from madqp_tpu.parallel import BatchedMPCSolver, solve_batched
+
+
+def _problems(k=4):
+    return [mq.dense_dummy_qp(8 + i, 4, seed=i) for i in range(k)]
+
+
+class TestBatched:
+    def test_batched_matches_single(self):
+        qps = _problems(4)
+        batched = solve_batched(qps, print_level=40)
+        for qp, bstat in zip(qps, batched):
+            single = mq.solve(qp, print_level=40)
+            assert bstat.status == Status.SOLVE_SUCCEEDED
+            assert bstat.objective == pytest.approx(single.objective, abs=1e-5)
+            np.testing.assert_allclose(bstat.solution, single.solution, atol=1e-4)
+
+    def test_heterogeneous_shapes_padding(self):
+        """Different (n, m) instances pad to a common shape and still solve."""
+        qps = [
+            mq.dense_dummy_qp(6, 2, seed=1),
+            mq.dense_dummy_qp(12, 7, seed=2),
+            mq.simple_lp(),
+        ]
+        stats = solve_batched(qps, print_level=40)
+        assert all(s.status == Status.SOLVE_SUCCEEDED for s in stats)
+        assert stats[2].objective == pytest.approx(1.0, abs=1e-6)
+
+    def test_sharded_over_mesh(self):
+        """Shard the batch over all 8 virtual devices."""
+        n_dev = len(jax.devices())
+        assert n_dev == 8, "conftest must provide 8 virtual CPU devices"
+        mesh = jax.make_mesh((n_dev,), ("batch",))
+        qps = [mq.dense_dummy_qp(10, 5, seed=i) for i in range(2 * n_dev)]
+        solver = BatchedMPCSolver.from_problems(
+            qps, mesh=mesh, print_level=40
+        )
+        stats = solver.solve_all()
+        assert len(stats) == 2 * n_dev
+        assert all(s.status == Status.SOLVE_SUCCEEDED for s in stats)
+        # cross-check one against the single-instance path
+        single = mq.solve(qps[3], print_level=40)
+        assert stats[3].objective == pytest.approx(single.objective, abs=1e-5)
+
+    def test_batch_not_multiple_of_mesh(self):
+        """Batch size is rounded up to the mesh size internally."""
+        mesh = jax.make_mesh((4,), ("batch",))
+        qps = _problems(3)  # 3 -> padded to 4
+        solver = BatchedMPCSolver.from_problems(qps, mesh=mesh, print_level=40)
+        stats = solver.solve_all()
+        assert len(stats) == 3
+        assert all(s.status == Status.SOLVE_SUCCEEDED for s in stats)
+
+
+def test_graft_entry_single():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert int(out.k) == 1
+
+
+def test_graft_entry_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,195 @@
+"""Problem-preparation pipeline tests: MPS/QPS reader, Ruiz scaling,
+presolve (reference L5, scripts/common.jl)."""
+
+import gzip
+import textwrap
+
+import numpy as np
+import pytest
+
+import madqp_tpu as mq
+from madqp_tpu.io.mps import parse_mps, read_mps
+from madqp_tpu.models.presolve import PresolveStatus, presolve_qp
+from madqp_tpu.models.scaling import ruiz_scaling_factors, scale_qp, unscale_stats
+
+import io as _io
+
+# AFIRO-style tiny LP with every major MPS feature.
+MPS_LP = textwrap.dedent("""\
+    * test problem
+    NAME          TESTLP
+    ROWS
+     N  COST
+     L  LIM1
+     G  LIM2
+     E  MYEQN
+    COLUMNS
+        X1        COST            1.0   LIM1            1.0
+        X1        LIM2            1.0
+        X2        COST            2.0   LIM1            1.0
+        X2        MYEQN          -1.0
+        X3        COST           -1.0   MYEQN           1.0
+    RHS
+        RHS       LIM1            4.0   LIM2            1.0
+        RHS       MYEQN           7.0
+    RANGES
+        RNG       LIM1            2.5
+    BOUNDS
+     UP BND       X1              4.0
+     LO BND       X2             -1.0
+    ENDATA
+    """)
+
+MPS_QP = textwrap.dedent("""\
+    NAME          TESTQP
+    ROWS
+     N  obj
+     G  c1
+    COLUMNS
+        x1        obj             2.0   c1              1.0
+        x2        obj             3.0   c1              1.0
+    RHS
+        rhs       c1              1.0   obj            -1.5
+    BOUNDS
+     FR BND       x1
+     FR BND       x2
+    QUADOBJ
+        x1        x1              8.0
+        x1        x2              2.0
+        x2        x2             10.0
+    ENDATA
+    """)
+
+
+class TestMPSReader:
+    def test_parse_lp(self):
+        qp = parse_mps(_io.StringIO(MPS_LP))
+        assert qp.name == "TESTLP"
+        assert qp.nvar == 3 and qp.ncon == 3
+        np.testing.assert_allclose(qp.c, [1.0, 2.0, -1.0])
+        A = qp.A.toarray()
+        np.testing.assert_allclose(A, [[1, 1, 0], [1, 0, 0], [0, -1, 1]])
+        # L row with RANGES 2.5: [4 - 2.5, 4]
+        np.testing.assert_allclose(qp.lcon, [1.5, 1.0, 7.0])
+        np.testing.assert_allclose(qp.ucon, [4.0, np.inf, 7.0])
+        np.testing.assert_allclose(qp.lvar, [0.0, -1.0, 0.0])
+        np.testing.assert_allclose(qp.uvar, [4.0, np.inf, np.inf])
+
+    def test_parse_qp_and_objective_constant(self):
+        qp = parse_mps(_io.StringIO(MPS_QP))
+        assert qp.nnzh > 0
+        H = qp.H.toarray()
+        np.testing.assert_allclose(H, [[8.0, 2.0], [2.0, 10.0]])
+        # RHS on the objective row: c0 = -(-1.5) = 1.5
+        assert qp.c0 == pytest.approx(1.5)
+
+    def test_roundtrip_solve(self):
+        qp = parse_mps(_io.StringIO(MPS_QP))
+        stats = mq.solve(qp, print_level=40)
+        assert stats.status == mq.Status.SOLVE_SUCCEEDED
+        # min x'Hx/2 + 2x1 + 3x2 + 1.5 s.t. x1 + x2 >= 1: KKT by hand
+        H = qp.H.toarray()
+        # active constraint: solve [H A'; A 0] [x; -y] = [-c; 1]
+        K = np.block([[H, np.ones((2, 1))], [np.ones((1, 2)), np.zeros((1, 1))]])
+        sol = np.linalg.solve(K, np.array([-2.0, -3.0, 1.0]))
+        np.testing.assert_allclose(stats.solution, sol[:2], atol=1e-6)
+
+    def test_gzip_reader(self, tmp_path):
+        path = tmp_path / "test.mps.gz"
+        with gzip.open(path, "wt") as f:
+            f.write(MPS_LP)
+        qp = read_mps(str(path))
+        assert qp.nvar == 3
+
+    def test_objsense_max(self):
+        txt = MPS_LP.replace("NAME          TESTLP", "NAME  T\nOBJSENSE\n    MAX")
+        qp = parse_mps(_io.StringIO(txt))
+        assert not qp.minimize
+
+
+class TestRuizScaling:
+    def test_equilibration(self, rng):
+        import scipy.sparse as sp
+
+        A = sp.random(40, 60, density=0.1, random_state=7, format="csr")
+        A.data = A.data * 10 ** rng.uniform(-4, 4, size=A.nnz)
+        s = ruiz_scaling_factors(A, max_iter=50, tol=1e-6)
+        B = sp.diags(1.0 / s.Dr) @ A @ sp.diags(1.0 / s.Dc)
+        Babs = abs(B)
+        rmax = Babs.max(axis=1).toarray().ravel()
+        rmax = rmax[rmax > 0]
+        cmax = Babs.max(axis=0).toarray().ravel()
+        cmax = cmax[cmax > 0]
+        assert np.all(np.abs(rmax - 1.0) < 1e-3)
+        assert np.all(np.abs(cmax - 1.0) < 1e-3)
+
+    def test_scaled_solve_unscales_to_same_solution(self):
+        qp = mq.dense_dummy_qp(12, 6, seed=3)
+        # Worsen conditioning artificially.
+        qp.A = qp.A.multiply(1e3).tocsr()
+        qp.lcon = qp.lcon * 1e3
+        qp.ucon = qp.ucon * 1e3
+        ref = mq.solve(qp, print_level=40)
+        scaled, s = mq.scale_qp(qp)
+        st = mq.solve(scaled, print_level=40)
+        st = mq.unscale_stats(s, st)
+        assert st.objective == pytest.approx(ref.objective, abs=1e-5)
+        np.testing.assert_allclose(st.solution, ref.solution, atol=1e-4)
+        np.testing.assert_allclose(st.multipliers, ref.multipliers, atol=1e-4)
+
+
+class TestPresolve:
+    def test_empty_row_dropped(self):
+        qp = mq.QuadraticProblem(
+            c=np.array([1.0, 1.0]),
+            A=np.array([[1.0, 1.0], [0.0, 0.0]]),
+            lcon=np.array([1.0, -1.0]),
+            ucon=np.array([1.0, 1.0]),
+            lvar=np.zeros(2),
+            uvar=np.full(2, np.inf),
+        )
+        red, info, ok = presolve_qp(qp)
+        assert ok and info.status == PresolveStatus.REDUCED
+        assert red.ncon == 1
+        y = info.postsolve_y(np.array([5.0]))
+        np.testing.assert_allclose(y, [5.0, 0.0])
+
+    def test_empty_row_infeasible(self):
+        qp = mq.QuadraticProblem(
+            c=np.array([1.0]),
+            A=np.array([[0.0]]),
+            lcon=np.array([1.0]),
+            ucon=np.array([2.0]),
+            lvar=np.zeros(1),
+            uvar=np.ones(1),
+        )
+        _, info, ok = presolve_qp(qp)
+        assert not ok and info.status == PresolveStatus.INFEASIBLE
+
+    def test_empty_column_fixed(self):
+        qp = mq.QuadraticProblem(
+            c=np.array([1.0, -2.0]),
+            A=np.array([[1.0, 0.0]]),
+            lcon=np.array([0.5]),
+            ucon=np.array([0.5]),
+            lvar=np.zeros(2),
+            uvar=np.array([np.inf, 3.0]),
+        )
+        red, info, ok = presolve_qp(qp)
+        assert ok and red.nvar == 1
+        # c2 = -2 < 0 -> fixed at upper bound 3
+        x = info.postsolve_x(np.array([0.5]))
+        np.testing.assert_allclose(x, [0.5, 3.0])
+        assert red.c0 == pytest.approx(-6.0)
+
+    def test_empty_column_unbounded(self):
+        qp = mq.QuadraticProblem(
+            c=np.array([1.0, -2.0]),
+            A=np.array([[1.0, 0.0]]),
+            lcon=np.array([0.5]),
+            ucon=np.array([0.5]),
+            lvar=np.zeros(2),
+            uvar=np.full(2, np.inf),
+        )
+        _, info, ok = presolve_qp(qp)
+        assert not ok and info.status == PresolveStatus.UNBOUNDED

@@ -1,0 +1,237 @@
+"""End-to-end solver tests mirroring the reference suite (test/runtests.jl).
+
+Oracle patterns (SURVEY §4):
+  1. cross-solver oracle — scipy (linprog / direct KKT solve) replaces the
+     reference's stock MadNLPSolver;
+  2. self-consistency oracle — one configuration produces a reference
+     solution, all other configurations must reproduce it (including K2.5's
+     iteration-identical requirement, test/runtests.jl:102-115).
+"""
+
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+import madqp_tpu as mq
+from madqp_tpu import Status
+
+
+QUIET = dict(print_level=40)
+
+
+def scipy_lp_solve(qp):
+    bounds = [
+        (l if np.isfinite(l) else None, u if np.isfinite(u) else None)
+        for l, u in zip(qp.lvar, qp.uvar)
+    ]
+    eq = qp.lcon == qp.ucon
+    A = qp.A.toarray()
+    res = linprog(
+        qp.c,
+        A_eq=A[eq] if eq.any() else None,
+        b_eq=qp.lcon[eq] if eq.any() else None,
+        A_ub=np.vstack([A[~eq], -A[~eq]]) if (~eq).any() else None,
+        b_ub=np.concatenate([qp.ucon[~eq], -qp.lcon[~eq]]) if (~eq).any() else None,
+        bounds=bounds,
+        method="highs",
+    )
+    assert res.status == 0
+    return res
+
+
+class TestSimpleLP:
+    """The reference's degenerate 2-variable LP (test/runtests.jl:139-181)."""
+
+    def test_solve(self):
+        stats = mq.solve(mq.simple_lp(), **QUIET)
+        assert stats.status == Status.SOLVE_SUCCEEDED
+        assert stats.objective == pytest.approx(1.0, abs=1e-6)
+        assert stats.solution == pytest.approx([0.5, 0.5], abs=1e-5)
+        assert stats.constraints == pytest.approx([1.0], abs=1e-7)
+
+    def test_normal_kkt_matches_reference_config(self):
+        qp = mq.simple_lp()
+        ref = mq.solve(qp, regularization=mq.NoRegularization(), **QUIET)
+        sol = mq.solve(qp, kkt_system="normal", **QUIET)
+        assert sol.status == Status.SOLVE_SUCCEEDED
+        assert sol.objective == pytest.approx(ref.objective, abs=1e-6)
+        np.testing.assert_allclose(sol.solution, ref.solution, atol=1e-6)
+        np.testing.assert_allclose(sol.multipliers, ref.multipliers, atol=1e-6)
+
+
+class TestDenseDummyQP:
+    """Mirrors the DenseDummyQP block of the reference suite."""
+
+    @pytest.mark.parametrize("n,m", [(10, 0), (10, 5), (50, 10)])
+    def test_sizes(self, n, m):
+        qp = mq.dense_dummy_qp(n, m, seed=n + m)
+        stats = mq.solve(qp, **QUIET)
+        assert stats.status == Status.SOLVE_SUCCEEDED
+        # KKT conditions at the solution (the cross-solver oracle):
+        g = qp.grad(stats.solution)
+        r = g + qp.jtprod(stats.multipliers) - stats.multipliers_L + stats.multipliers_U
+        assert np.max(np.abs(r)) < 1e-5
+        # primal feasibility
+        c = qp.cons(stats.solution)
+        assert np.all(c >= qp.lcon - 1e-6)
+        assert np.all(c <= qp.ucon + 1e-6)
+        assert np.all(stats.solution >= qp.lvar - 1e-6)
+        assert np.all(stats.solution <= qp.uvar + 1e-6)
+
+    @pytest.mark.parametrize("ncorr", [0, 5])
+    def test_equality_constraints(self, ncorr):
+        qp = mq.dense_dummy_qp(20, 15, equality_cons=(0, 1, 2, 7), seed=7)
+        ref = mq.solve(qp, **QUIET)
+        stats = mq.solve(qp, max_ncorr=ncorr, **QUIET)
+        assert stats.status == Status.SOLVE_SUCCEEDED
+        assert stats.objective == pytest.approx(ref.objective, abs=1e-5)
+        np.testing.assert_allclose(stats.solution, ref.solution, atol=1e-5)
+
+    def test_fixed_variables(self):
+        for eq in [(), (0, 1, 2, 7)]:
+            qp = mq.dense_dummy_qp(20, 15, fixed_variables=(0, 1), equality_cons=eq, seed=11)
+            stats = mq.solve(qp, **QUIET)
+            assert stats.status == Status.SOLVE_SUCCEEDED
+            assert stats.solution[0] == pytest.approx(qp.lvar[0], abs=1e-9)
+            assert stats.solution[1] == pytest.approx(qp.lvar[1], abs=1e-9)
+            # stationarity on the free variables
+            g = qp.grad(stats.solution)
+            r = (
+                g + qp.jtprod(stats.multipliers)
+                - stats.multipliers_L + stats.multipliers_U
+            )
+            free = np.ones(qp.nvar, bool)
+            free[[0, 1]] = False
+            assert np.max(np.abs(r[free])) < 1e-5
+
+    @pytest.mark.parametrize(
+        "rule",
+        [
+            mq.AdaptiveStep(0.99),
+            mq.ConservativeStep(0.99),
+            mq.MehrotraAdaptiveStep(0.99),
+        ],
+        ids=lambda r: type(r).__name__,
+    )
+    def test_step_rules(self, rule):
+        qp = mq.dense_dummy_qp(10, 5, seed=5)
+        stats = mq.solve(qp, step_rule=rule, **QUIET)
+        assert stats.status == Status.SOLVE_SUCCEEDED
+
+    def test_k25_iteration_identical(self):
+        """K2.5 must match the reference configuration exactly — including
+        the iteration count (test/runtests.jl:102-115)."""
+        qp = mq.dense_dummy_qp(10, 5, seed=5)
+        ref = mq.solve(qp, regularization=mq.NoRegularization(), **QUIET)
+        k25 = mq.solve(
+            qp, regularization=mq.NoRegularization(), kkt_system="k2.5", **QUIET
+        )
+        assert k25.status == Status.SOLVE_SUCCEEDED
+        assert k25.iter == ref.iter
+        assert k25.objective == pytest.approx(ref.objective, abs=1e-6)
+        np.testing.assert_allclose(k25.solution, ref.solution, atol=1e-6)
+        np.testing.assert_allclose(k25.multipliers, ref.multipliers, atol=1e-6)
+
+    @pytest.mark.parametrize(
+        "reg",
+        [
+            mq.FixedRegularization(1e-8, -1e-9),
+            mq.AdaptiveRegularization(1e-8, -1e-9, 1e-9),
+        ],
+        ids=lambda r: type(r).__name__,
+    )
+    def test_regularizations(self, reg):
+        qp = mq.dense_dummy_qp(10, 5, seed=5)
+        ref = mq.solve(qp, regularization=mq.NoRegularization(), **QUIET)
+        sol = mq.solve(qp, regularization=reg, rethrow_error=True, **QUIET)
+        assert sol.status == Status.SOLVE_SUCCEEDED
+        assert sol.objective == pytest.approx(ref.objective, abs=1e-6)
+        np.testing.assert_allclose(sol.solution, ref.solution, atol=1e-6)
+        np.testing.assert_allclose(sol.multipliers, ref.multipliers, atol=1e-6)
+
+
+class TestAgainstScipy:
+    def test_random_lp_vs_linprog(self):
+        qp = mq.random_lp(60, 25, seed=1)
+        stats = mq.solve(qp, **QUIET)
+        res = scipy_lp_solve(qp)
+        assert stats.status == Status.SOLVE_SUCCEEDED
+        assert stats.objective == pytest.approx(res.fun, abs=1e-6)
+
+    def test_lp_with_ranges_vs_linprog(self):
+        rng = np.random.default_rng(9)
+        n, m = 30, 18
+        A = rng.standard_normal((m, n))
+        x_feas = rng.uniform(0.0, 1.0, size=n)
+        mid = A @ x_feas
+        qp = mq.QuadraticProblem(
+            c=rng.standard_normal(n) + 1.0,
+            A=A,
+            lcon=mid - 0.3,
+            ucon=mid + 0.3,
+            lvar=np.zeros(n),
+            uvar=np.full(n, 2.0),
+        )
+        stats = mq.solve(qp, **QUIET)
+        res = scipy_lp_solve(qp)
+        assert stats.status == Status.SOLVE_SUCCEEDED
+        assert stats.objective == pytest.approx(res.fun, abs=1e-6)
+
+    def test_eq_qp_vs_direct_kkt(self):
+        """Equality-constrained QP with inactive bounds has a closed-form
+        KKT solution."""
+        qp = mq.random_qp(30, 10, seed=3, ineq=False)
+        stats = mq.solve(qp, **QUIET)
+        assert stats.status == Status.SOLVE_SUCCEEDED
+        H = qp.H.toarray()
+        A = qp.A.toarray()
+        n, m = qp.nvar, qp.ncon
+        Kmat = np.block([[H, A.T], [A, np.zeros((m, m))]])
+        sol = np.linalg.solve(Kmat, np.concatenate([-qp.c, qp.lcon]))
+        if np.all(sol[:n] > qp.lvar + 1e-6) and np.all(sol[:n] < qp.uvar - 1e-6):
+            np.testing.assert_allclose(stats.solution, sol[:n], atol=1e-5)
+
+
+class TestDriverBehavior:
+    def test_max_iter(self):
+        qp = mq.dense_dummy_qp(10, 5, seed=5)
+        stats = mq.solve(qp, max_iter=1, **QUIET)
+        assert stats.status == Status.MAXIMUM_ITERATIONS_EXCEEDED
+        assert stats.iter == 1
+
+    def test_python_loop_mode_matches_jit(self):
+        qp = mq.dense_dummy_qp(10, 5, seed=5)
+        a = mq.solve(qp, loop_mode="jit", **QUIET)
+        b = mq.solve(qp, loop_mode="python", **QUIET)
+        assert a.iter == b.iter
+        assert a.objective == pytest.approx(b.objective, abs=1e-10)
+
+    def test_no_scaling(self):
+        qp = mq.dense_dummy_qp(10, 5, seed=5)
+        stats = mq.solve(qp, scaling=False, **QUIET)
+        assert stats.status == Status.SOLVE_SUCCEEDED
+
+    def test_solve_time_option_override(self):
+        solver = mq.MPCSolver(mq.dense_dummy_qp(10, 5, seed=5), **QUIET)
+        stats = solver.solve(max_iter=2)
+        assert stats.status == Status.MAXIMUM_ITERATIONS_EXCEEDED
+
+    def test_maximize(self):
+        # max -(x1^2 + x2^2) + x1  s.t. 0 <= x <= 1  -> x = (0.5, 0)
+        import scipy.sparse as sp
+
+        qp = mq.QuadraticProblem(
+            c=np.array([1.0, 0.0]),
+            H=sp.csr_matrix(-np.eye(2) * 2.0),
+            A=np.zeros((0, 2)),
+            lcon=np.zeros(0),
+            ucon=np.zeros(0),
+            lvar=np.zeros(2),
+            uvar=np.ones(2),
+            minimize=False,
+        )
+        stats = mq.solve(qp, **QUIET)
+        assert stats.status == Status.SOLVE_SUCCEEDED
+        # max x1 - x1^2 - x2^2 on [0,1]^2 -> x = (0.5, 0), obj = 0.25
+        assert stats.solution[0] == pytest.approx(0.5, abs=1e-4)
+        assert stats.objective == pytest.approx(0.25, abs=1e-4)
