@@ -10,9 +10,24 @@ protocol; we enable x64 at import (TPU emulates f64; the mixed-precision
 path trades f32 factorization + refinement for speed).
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: full MPC solves are large XLA programs
+# (while_loop over factorizations); first compiles run minutes on TPU.
+_cache_dir = _os.environ.get(
+    "MADQP_COMPILE_CACHE", _os.path.expanduser("~/.cache/madqp_jax")
+)
+if _cache_dir and _cache_dir != "0":
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 from .utils import (  # noqa: E402
     Status,

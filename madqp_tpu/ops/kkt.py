@@ -3,7 +3,7 @@
 Protocol (functional equivalent of MadNLP's AbstractKKTSystem as implemented
 by the reference at src/KKT/normalkkt.jl:128-219):
 
-  * `factorize(H, A, pr_diag, del_c) -> factors`  — per-iteration numeric
+  * `factorize(prob, pr_diag, del_c) -> factors`  — per-iteration numeric
     factorization (the reference's build_kkt! + factorize_wrapper!).
   * `solve(factors, rx, ry) -> (dx, dy)`          — solve the *reduced* 2x2
     system [W A'; A dc I] [dx; dy] = [rx; ry], W = H + diag(pr_diag).
@@ -42,9 +42,11 @@ import jax.scipy.linalg as jsl
 
 
 class CondensedFactors(NamedTuple):
-    chol_W: Optional[jax.Array]   # (n, n) lower Cholesky of W; None for LP
+    chol_W: Optional[jax.Array]   # (n, n) lower Cholesky of scaled W; None for LP
+    w_scale: Optional[jax.Array]  # (n,) Jacobi scale of W (None for LP)
     w_diag: jax.Array             # (n,) pr_diag (used directly when LP)
-    chol_S: jax.Array             # (m, m) lower Cholesky of Schur complement
+    chol_S: jax.Array             # (m, m) lower Cholesky of scaled Schur compl.
+    s_scale: jax.Array            # (m,) Jacobi scale of S
     A: jax.Array                  # (m, n) kept for the solve
 
 
@@ -54,30 +56,61 @@ class DenseCondensedKKT:
     Covers both the QP condensed form and the LP normal equations
     (reference NormalKKTSystem build_kkt!/solve!, normalkkt.jl:166-205):
     with H = None, W is the diagonal pr_diag and S = A D A' - dc I.
+
+    Mixed precision (`fact_dtype` float32): both SPD blocks are symmetrically
+    Jacobi-scaled to unit diagonal (taming the barrier diagonal's 1e±8
+    dynamic range) and factorized in fact_dtype; callers recover full f64
+    accuracy via iterative refinement on the unreduced system (the
+    reference's residual-check hook, src/linear_solver.jl:28-43).
     """
 
     name = "condensed"
 
-    def factorize(self, H, A, pr_diag, del_c):
+    def __init__(self, fact_dtype=None):
+        self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
+
+    def _chol_scaled(self, M):
+        """Jacobi-scale M to unit diagonal, factorize (optionally in
+        fact_dtype).  Returns (chol, scale)."""
+        d = jnp.diagonal(M)
+        scale = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(d), 1e-300))
+        Ms = scale[:, None] * M * scale[None, :]
+        if self.fact_dtype is not None and Ms.dtype != self.fact_dtype:
+            Ms = Ms.astype(self.fact_dtype)
+        return jsl.cholesky(Ms, lower=True), scale
+
+    def _chol_apply(self, chol, scale, r, out_dtype):
+        """Solve M x = r through the scaled factorization."""
+        rs = (scale * r).astype(chol.dtype)
+        xs = jsl.cho_solve((chol, True), rs)
+        return (scale * xs.astype(out_dtype))
+
+    def factorize(self, prob, pr_diag, del_c):
+        H, A = prob.H, prob.A
         m = A.shape[0]
         if H is None:
-            w_diag = pr_diag
-            chol_W = None
+            chol_W, w_scale = None, None
             Winv_AT = A.T / pr_diag[:, None]  # (n, m)
         else:
             W = H + jnp.diag(pr_diag)
-            chol_W = jsl.cholesky(W, lower=True)
-            Winv_AT = jsl.cho_solve((chol_W, True), A.T)
-            w_diag = pr_diag
+            chol_W, w_scale = self._chol_scaled(W)
+            rhs = (w_scale[:, None] * A.T).astype(chol_W.dtype)
+            Winv_AT = (
+                w_scale[:, None]
+                * jsl.cho_solve((chol_W, True), rhs).astype(A.dtype)
+            )
         S = A @ Winv_AT
         S = S - del_c * jnp.eye(m, dtype=A.dtype)
-        chol_S = jsl.cholesky(S, lower=True)
-        return CondensedFactors(chol_W=chol_W, w_diag=w_diag, chol_S=chol_S, A=A)
+        chol_S, s_scale = self._chol_scaled(S)
+        return CondensedFactors(
+            chol_W=chol_W, w_scale=w_scale, w_diag=pr_diag,
+            chol_S=chol_S, s_scale=s_scale, A=A,
+        )
 
     def _W_solve(self, f: CondensedFactors, r):
         if f.chol_W is None:
             return r / f.w_diag
-        return jsl.cho_solve((f.chol_W, True), r)
+        return self._chol_apply(f.chol_W, f.w_scale, r, r.dtype)
 
     def solve(self, f: CondensedFactors, rx, ry):
         m = f.A.shape[0]
@@ -85,7 +118,7 @@ class DenseCondensedKKT:
             return self._W_solve(f, rx), ry
         # (A W^-1 A' - dc I) dy = A W^-1 rx - ry
         rhs_y = f.A @ self._W_solve(f, rx) - ry
-        dy = jsl.cho_solve((f.chol_S, True), rhs_y)
+        dy = self._chol_apply(f.chol_S, f.s_scale, rhs_y, ry.dtype)
         dx = self._W_solve(f, rx - f.A.T @ dy)
         return dx, dy
 
@@ -110,13 +143,13 @@ class DenseNormalKKT(DenseCondensedKKT):
 
     name = "normal"
 
-    def factorize(self, H, A, pr_diag, del_c):
-        if H is not None:
+    def factorize(self, prob, pr_diag, del_c):
+        if prob.H is not None:
             raise ValueError(
                 "NormalKKT supports only linear programs "
                 "(reference normalkkt.jl:45-48): Hessian must be empty."
             )
-        return super().factorize(None, A, pr_diag, del_c)
+        return super().factorize(prob, pr_diag, del_c)
 
 
 # ---------------------------------------------------------------------------
@@ -137,6 +170,9 @@ class DenseK2KKT:
 
     name = "k2"
 
+    def __init__(self, fact_dtype=None):
+        self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
+
     def _assemble(self, H, A, pr_diag, del_c):
         n = pr_diag.shape[0]
         m = A.shape[0]
@@ -149,15 +185,18 @@ class DenseK2KKT:
         K = K.at[n:, n:].set(del_c * jnp.eye(m, dtype=dtype))
         return K
 
-    def factorize(self, H, A, pr_diag, del_c):
-        K = self._assemble(H, A, pr_diag, del_c)
+    def factorize(self, prob, pr_diag, del_c):
+        K = self._assemble(prob.H, prob.A, pr_diag, del_c)
+        if self.fact_dtype is not None and K.dtype != self.fact_dtype:
+            K = K.astype(self.fact_dtype)
         lu, piv = jsl.lu_factor(K)
         return K2Factors(lu=lu, piv=piv)
 
     def solve(self, f: K2Factors, rx, ry):
         n = rx.shape[0]
         rhs = jnp.concatenate([rx, ry])
-        d = jsl.lu_solve((f.lu, f.piv), rhs)
+        d = jsl.lu_solve((f.lu, f.piv), rhs.astype(f.lu.dtype))
+        d = d.astype(rx.dtype)
         return d[:n], d[n:]
 
     def factor_ok(self, f: K2Factors):
@@ -175,18 +214,20 @@ class DenseK25KKT(DenseK2KKT):
 
     name = "k2.5"
 
-    def factorize(self, H, A, pr_diag, del_c):
-        K = self._assemble(H, A, pr_diag, del_c)
+    def factorize(self, prob, pr_diag, del_c):
+        K = self._assemble(prob.H, prob.A, pr_diag, del_c)
         dK = jnp.abs(jnp.diagonal(K))
         scale = 1.0 / jnp.sqrt(jnp.maximum(dK, 1e-8))
         Ks = scale[:, None] * K * scale[None, :]
+        if self.fact_dtype is not None and Ks.dtype != self.fact_dtype:
+            Ks = Ks.astype(self.fact_dtype)
         lu, piv = jsl.lu_factor(Ks)
         return K25Factors(lu=lu, piv=piv, scale=scale)
 
     def solve(self, f: "K25Factors", rx, ry):
         n = rx.shape[0]
-        rhs = jnp.concatenate([rx, ry]) * f.scale
-        d = jsl.lu_solve((f.lu, f.piv), rhs) * f.scale
+        rhs = (jnp.concatenate([rx, ry]) * f.scale).astype(f.lu.dtype)
+        d = jsl.lu_solve((f.lu, f.piv), rhs).astype(rx.dtype) * f.scale
         return d[:n], d[n:]
 
 
@@ -201,7 +242,7 @@ class K25Factors(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def kkt_mul(H, A, del_w, del_c, x, lb, ub, has_lb, has_ub, zl, zu, v):
+def kkt_mul(prob, del_w, del_c, x, lb, ub, has_lb, has_ub, zl, zu, v):
     """w = K v for the *unreduced* KKT operator (reference normalkkt.jl:207-219
     plus MadNLP._kktmul!), using this module's sign conventions:
 
@@ -209,14 +250,14 @@ def kkt_mul(H, A, del_w, del_c, x, lb, ub, has_lb, has_ub, zl, zu, v):
         wy  = A vx + dc vy
         wzl = zl.vx + sl.vzl          (masked; 0 off-mask)
         wzu = -zu.vx + su.vzu         (masked)
+
+    `prob` is any problem object exposing hess_mv/jac_mv/jac_rmv.
     """
     from .kernels import KKTVec, slacks
 
     sl, su = slacks(x, lb, ub, has_lb, has_ub)
-    wx = del_w * v.x + A.T @ v.y - v.zl + v.zu
-    if H is not None:
-        wx = wx + H @ v.x
-    wy = A @ v.x + del_c * v.y
+    wx = del_w * v.x + prob.jac_rmv(v.y) - v.zl + v.zu + prob.hess_mv(v.x)
+    wy = prob.jac_mv(v.x) + del_c * v.y
     wzl = jnp.where(has_lb, zl * v.x + sl * v.zl, 0.0)
     wzu = jnp.where(has_ub, -zu * v.x + su * v.zu, 0.0)
     return KKTVec(x=wx, y=wy, zl=wzl, zu=wzu)
@@ -234,10 +275,18 @@ _KKT_REGISTRY = {
 }
 
 
-def make_kkt(name: str):
+def make_kkt(name: str, fact_dtype=None):
+    if name == "schur":
+        # Registered lazily to avoid a circular import; SchurKKT pairs with
+        # parallel.structured.TwoStageProblem only.
+        from ..parallel.structured import SchurKKT
+
+        return SchurKKT(fact_dtype=fact_dtype)
     try:
-        return _KKT_REGISTRY[name]()
+        cls = _KKT_REGISTRY[name]
     except KeyError:
         raise ValueError(
-            f"unknown kkt_system '{name}'; options: {sorted(_KKT_REGISTRY)}"
+            f"unknown kkt_system '{name}'; options: "
+            f"{sorted(_KKT_REGISTRY) + ['schur']}"
         )
+    return cls(fact_dtype=fact_dtype)

@@ -59,6 +59,11 @@ class MPCSolver:
                 "NormalKKT supports only linear programs "
                 "(reference normalkkt.jl:45-48)."
             )
+        if opts.kkt_system == "schur":
+            raise ValueError(
+                "kkt_system='schur' requires a block-angular TwoStageProblem;"
+                " use madqp_tpu.parallel.solve_two_stage instead."
+            )
 
         t0 = time.time()
         self.std, self.info, x0_int, y0_int = build_standard_form(
@@ -95,9 +100,11 @@ class MPCSolver:
 
         cnt = self.cnt
         cnt.start_time = time.time()
+        fact = self.opts.factorization_dtype or self.opts.dtype
         self.logger.notice(
             f"This is MadQP-TPU, running with {self.kernel.kkt.name} KKT "
-            f"({self.opts.linear_solver} backend, dtype={self.opts.dtype})\n"
+            f"({self.opts.linear_solver} backend, dtype={self.opts.dtype}, "
+            f"factorization={fact})\n"
         )
         status = Status.INTERNAL_ERROR
         final = None

@@ -58,32 +58,33 @@ class MPCKernel:
 
     def __init__(self, opts: IPMOptions):
         self.opts = opts
-        self.kkt = make_kkt(opts.kkt_system)
+        fact_dtype = opts.factorization_dtype or None
+        self.kkt = make_kkt(opts.kkt_system, fact_dtype=fact_dtype)
         self.dtype = jnp.dtype(opts.dtype)
         self.eps = float(jnp.finfo(self.dtype).eps)
 
     # -- model callbacks (dense; reference L3 eval wrappers) ----------------
 
-    def objective(self, p: ProblemArrays, x):
+    def objective(self, p, x):
         val = p.c0 + jnp.dot(p.c, x)
-        if p.H is not None:
-            val = val + 0.5 * jnp.dot(x, p.H @ x)
+        if not p.is_lp:
+            val = val + 0.5 * jnp.dot(x, p.hess_mv(x))
         return val
 
-    def gradient(self, p: ProblemArrays, x):
-        return p.c if p.H is None else p.c + p.H @ x
+    def gradient(self, p, x):
+        return p.c if p.is_lp else p.c + p.hess_mv(x)
 
-    def cons_residual(self, p: ProblemArrays, x):
-        return p.A @ x - p.b
+    def cons_residual(self, p, x):
+        return p.jac_mv(x) - p.b
 
-    def jtprod(self, p: ProblemArrays, y):
-        return p.A.T @ y
+    def jtprod(self, p, y):
+        return p.jac_rmv(y)
 
     # -- linear algebra -----------------------------------------------------
 
     def _factorize(self, p, x, lb, ub, zl, zu, del_w, del_c):
         pr_diag = K.sigma_diagonal(x, lb, ub, p.has_lb, p.has_ub, zl, zu, del_w)
-        f = self.kkt.factorize(p.H, p.A, pr_diag, del_c)
+        f = self.kkt.factorize(p, pr_diag, del_c)
         return f, self.kkt.factor_ok(f)
 
     def factorize_with_retry(self, p, x, lb, ub, zl, zu, del_w, del_c):
@@ -123,9 +124,7 @@ class MPCKernel:
             return K.KKTVec(x=dx, y=dy, zl=dzl, zu=dzu)
 
         def residual(d):
-            Kd = kkt_mul(
-                p.H, p.A, del_w, del_c, x, lb, ub, *masks, zl, zu, d
-            )
+            Kd = kkt_mul(p, del_w, del_c, x, lb, ub, *masks, zl, zu, d)
             return jax.tree.map(lambda a, b: a - b, p_rhs, Kd)
 
         d = backsolve(p_rhs)
@@ -362,7 +361,7 @@ class MPCKernel:
         # Initial KKT: pr_diag = del_w exactly (reference src/solver.jl:16-18
         # — no barrier terms in the starting-point system).
         pr_diag = jnp.full(p.n, 1.0, dt) * del_w
-        factors = self.kkt.factorize(p.H, p.A, pr_diag, del_c)
+        factors = self.kkt.factorize(p, pr_diag, del_c)
 
         # Step 1: primal least squares x += dx with A dx ~ (b - A x).
         dx, _ = self.kkt.solve(factors, zero_n, -c_res)

@@ -26,7 +26,14 @@ DIVERGED = 4
 
 
 class ProblemArrays(NamedTuple):
-    """Device-resident immutable problem data (dense path)."""
+    """Device-resident immutable problem data (dense path).
+
+    The methods are the model-callback protocol consumed by MPCKernel and
+    the KKT layer (reference SparseCallback analog, SURVEY L3): any problem
+    representation exposing c0/c/b/has_lb/has_ub plus hess_mv/jac_mv/jac_rmv
+    plugs into the same solver — this is how structured problems
+    (parallel/structured.py) reuse the MPC core.
+    """
 
     c0: jax.Array
     c: jax.Array
@@ -47,6 +54,18 @@ class ProblemArrays(NamedTuple):
     @property
     def is_lp(self) -> bool:
         return self.H is None
+
+    def hess_mv(self, x):
+        """H @ x (zero for LPs)."""
+        return jnp.zeros_like(x) if self.H is None else self.H @ x
+
+    def jac_mv(self, x):
+        """A @ x."""
+        return self.A @ x
+
+    def jac_rmv(self, y):
+        """A' @ y."""
+        return self.A.T @ y
 
 
 class IPMState(NamedTuple):

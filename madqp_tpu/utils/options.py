@@ -157,8 +157,12 @@ class IPMOptions:
     mu_min: float = 1e-11
     mu_superlinear_decrease_power: float = 1.5
     tau_min: float = 0.99
-    # Numerics (TPU-specific): dtype of the on-device solve.
+    # Numerics (TPU-specific): dtype of the on-device solver state, and an
+    # optionally lower dtype for the KKT factorization.  float32
+    # factorization + f64 iterative refinement (set max_refine_steps >= 1)
+    # is the fast TPU configuration; f64 matmuls are software-emulated.
     dtype: str = "float64"
+    factorization_dtype: str = ""  # "" = same as dtype
     # Execution mode: "jit" runs the whole solve in one lax.while_loop;
     # "python" steps iterations from the host (debuggable, prints eagerly).
     loop_mode: str = "jit"

@@ -12,8 +12,22 @@ import pytest
 
 from madqp_tpu.ops.kkt import make_kkt, kkt_mul
 from madqp_tpu.ops import kernels as K
+from madqp_tpu.solver.state import ProblemArrays
 
 FORMULATIONS = ["condensed", "normal", "k2", "k2.5"]
+
+
+def wrap_prob(H, A):
+    """Minimal ProblemArrays for the KKT layer (only H/A/matvecs used)."""
+    import jax.numpy as jnp
+
+    m, n = A.shape
+    return ProblemArrays(
+        c0=jnp.zeros(()), c=jnp.zeros(n),
+        H=None if H is None else jnp.asarray(H),
+        A=jnp.asarray(A), b=jnp.zeros(m),
+        has_lb=jnp.zeros(n, bool), has_ub=jnp.zeros(n, bool),
+    )
 
 
 def make_system(rng, n=16, m=6, lp=False):
@@ -51,8 +65,7 @@ def test_kkt_solve_matches_dense_reference(name, lp, rng):
     ry = rng.standard_normal(m)
 
     kkt = make_kkt(name)
-    Hj = None if H is None else jnp.asarray(H)
-    f = kkt.factorize(Hj, jnp.asarray(A), jnp.asarray(pr_diag), del_c)
+    f = kkt.factorize(wrap_prob(H, A), jnp.asarray(pr_diag), del_c)
     assert bool(kkt.factor_ok(f))
     dx, dy = kkt.solve(f, jnp.asarray(rx), jnp.asarray(ry))
 
@@ -65,7 +78,7 @@ def test_normal_kkt_rejects_qp(rng):
     H, A, pr_diag, del_c = make_system(rng, lp=False)
     kkt = make_kkt("normal")
     with pytest.raises(ValueError, match="linear programs"):
-        kkt.factorize(jnp.asarray(H), jnp.asarray(A), jnp.asarray(pr_diag), del_c)
+        kkt.factorize(wrap_prob(H, A), jnp.asarray(pr_diag), del_c)
 
 
 def test_factor_ok_detects_indefinite(rng):
@@ -75,7 +88,7 @@ def test_factor_ok_detects_indefinite(rng):
     H, A, pr_diag, del_c = make_system(rng, lp=True, n=8, m=8)
     pr_diag = -np.abs(pr_diag)  # flips S = A D A' negative definite
     kkt = make_kkt("condensed")
-    f = kkt.factorize(None, jnp.asarray(A), jnp.asarray(pr_diag), del_c)
+    f = kkt.factorize(wrap_prob(None, A), jnp.asarray(pr_diag), del_c)
     assert not bool(kkt.factor_ok(f))
 
 
@@ -98,15 +111,13 @@ def test_kkt_mul_solve_roundtrip(rng):
         zl=jnp.asarray(np.where(has_lb, rng.standard_normal(n), 0.0)),
         zu=jnp.asarray(np.where(has_ub, rng.standard_normal(n), 0.0)),
     )
-    p = kkt_mul(
-        jnp.asarray(H), jnp.asarray(A), del_w, del_c,
-        x, lb, ub, has_lb, has_ub, zl, zu, v,
-    )
+    prob = wrap_prob(H, A)
+    p = kkt_mul(prob, del_w, del_c, x, lb, ub, has_lb, has_ub, zl, zu, v)
 
     # Solve K d = p through reduce -> 2x2 solve -> recover; expect d == v.
     pr_diag = K.sigma_diagonal(x, lb, ub, has_lb, has_ub, zl, zu, del_w)
     kkt = make_kkt("condensed")
-    f = kkt.factorize(jnp.asarray(H), jnp.asarray(A), pr_diag, del_c)
+    f = kkt.factorize(prob, pr_diag, del_c)
     rx, ry = K.reduce_rhs(p, x, lb, ub, has_lb, has_ub)
     dx, dy = kkt.solve(f, rx, ry)
     dzl, dzu = K.recover_bound_duals(p, dx, x, lb, ub, has_lb, has_ub, zl, zu)
@@ -126,7 +137,7 @@ def test_kkt_no_constraints_edge(m, rng):
     A = np.zeros((m, n))
     pr_diag = np.full(n, 0.7)
     kkt = make_kkt("condensed")
-    f = kkt.factorize(jnp.asarray(H), jnp.asarray(A), jnp.asarray(pr_diag), -1e-8)
+    f = kkt.factorize(wrap_prob(H, A), jnp.asarray(pr_diag), -1e-8)
     rx = rng.standard_normal(n)
     ry = rng.standard_normal(m)
     dx, dy = kkt.solve(f, jnp.asarray(rx), jnp.asarray(ry))
