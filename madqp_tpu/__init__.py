@@ -54,12 +54,13 @@ from .models import (  # noqa: E402
     simple_lp,
     random_lp,
     random_qp,
+    banded_sparse_lp,
     scale_qp,
     unscale_stats,
     presolve_qp,
 )
 from .io import read_mps  # noqa: E402
-from .solver import MPCSolver, solve  # noqa: E402
+from .solver import MPCSolver, solve, HostMPCSolver, solve_host  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -92,4 +93,7 @@ __all__ = [
     "read_mps",
     "MPCSolver",
     "solve",
+    "HostMPCSolver",
+    "solve_host",
+    "banded_sparse_lp",
 ]

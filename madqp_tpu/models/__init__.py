@@ -1,11 +1,21 @@
-from .qp import QuadraticProblem, StandardQP, TransformInfo, build_standard_form, from_coo
-from .generators import dense_dummy_qp, simple_lp, random_lp, random_qp
+from .qp import (
+    QuadraticProblem,
+    StandardQP,
+    SparseStandardQP,
+    TransformInfo,
+    build_standard_form,
+    build_standard_form_sparse,
+    from_coo,
+)
+from .generators import dense_dummy_qp, simple_lp, random_lp, random_qp, banded_sparse_lp
 from .scaling import scale_qp, ruiz_scaling_factors, unscale_stats, RuizScaling
 from .presolve import presolve_qp, PresolveInfo, PresolveStatus
 
 __all__ = [
     "QuadraticProblem",
     "StandardQP",
+    "SparseStandardQP",
+    "build_standard_form_sparse",
     "TransformInfo",
     "build_standard_form",
     "from_coo",
@@ -13,6 +23,7 @@ __all__ = [
     "simple_lp",
     "random_lp",
     "random_qp",
+    "banded_sparse_lp",
     "scale_qp",
     "ruiz_scaling_factors",
     "unscale_stats",

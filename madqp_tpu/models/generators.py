@@ -130,3 +130,34 @@ def random_qp(n: int = 100, m: int = 50, seed: int = 0, ineq: bool = True) -> Qu
         uvar=np.full(n, 5.0),
         name=f"random_qp_{n}_{m}",
     )
+
+
+def banded_sparse_lp(n: int = 20000, m: int = 10000, band: int = 5, seed: int = 0) -> QuadraticProblem:
+    """Large banded sparse LP with a known feasible interior point.
+
+    Staircase structure typical of real LP suites (each constraint couples a
+    contiguous window of variables) — low fill under a bandwidth-style
+    ordering, exercising the host sparse path at scale.
+    """
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(m), band)
+    offs = np.tile(np.arange(band), m)
+    cols = (rows * (n - band) // max(1, m - 1) if m > 1 else rows) + offs
+    cols = np.minimum(cols, n - 1)
+    vals = rng.standard_normal(m * band) + 0.1
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    # guarantee nonzero diagonal-ish entries for row rank
+    A = A + sp.coo_matrix(
+        (np.ones(m), (np.arange(m), (np.arange(m) * (n // m)) % n)), shape=(m, n)
+    ).tocsr()
+    x_feas = rng.uniform(0.5, 1.5, size=n)
+    b = np.asarray(A @ x_feas).ravel()
+    return QuadraticProblem(
+        c=rng.uniform(1.0, 3.0, size=n),
+        A=A,
+        lcon=b,
+        ucon=b,
+        lvar=np.zeros(n),
+        uvar=np.full(n, np.inf),
+        name=f"banded_sparse_lp_{n}_{m}",
+    )

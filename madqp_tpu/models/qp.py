@@ -249,12 +249,52 @@ class TransformInfo:
         return z
 
 
-def build_standard_form(
+@dataclasses.dataclass
+class SparseStandardQP:
+    """Internal standard form with scipy-sparse H/A (host sparse path)."""
+
+    c0: float
+    c: np.ndarray
+    H: Optional[sp.csc_matrix]   # full symmetric, or None for LP
+    A: sp.csr_matrix
+    b: np.ndarray
+    lb: np.ndarray
+    ub: np.ndarray
+    has_lb: np.ndarray
+    has_ub: np.ndarray
+
+    @property
+    def n(self) -> int:
+        return self.c.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.b.shape[0]
+
+    @property
+    def is_lp(self) -> bool:
+        return self.H is None
+
+    def densify(self) -> StandardQP:
+        return StandardQP(
+            c0=np.float64(self.c0),
+            c=self.c,
+            H=None if self.H is None else self.H.toarray(),
+            A=self.A.toarray(),
+            b=self.b,
+            lb=self.lb,
+            ub=self.ub,
+            has_lb=self.has_lb,
+            has_ub=self.has_ub,
+        )
+
+
+def build_standard_form_sparse(
     qp: QuadraticProblem,
     scaling: bool = True,
     max_gradient: float = 100.0,
-) -> tuple[StandardQP, TransformInfo, np.ndarray, np.ndarray]:
-    """Convert a general QP to internal standard form (dense path).
+) -> tuple[SparseStandardQP, TransformInfo, np.ndarray, np.ndarray]:
+    """Convert a general QP to internal standard form, keeping H/A sparse.
 
     Pipeline (reference analogs):
       1. eliminate fixed variables by substitution (MakeParameter semantics,
@@ -265,7 +305,7 @@ def build_standard_form(
          (MadNLP set_scaling! with max_gradient=100, src/solver.jl:148-159).
 
     Returns (standard_qp, info, x0_int, y0_int) with x0/y0 mapped into the
-    internal space (slack part initialized to A x0).
+    internal space (slack part initialized to scaled A x0).
     """
     n_user, m_user = qp.nvar, qp.ncon
     lvar, uvar = qp.lvar, qp.uvar
@@ -283,7 +323,7 @@ def build_standard_form(
     n_kept = keep_idx.shape[0]
 
     A_full = qp.A.tocsc()
-    H_full = None if qp.H is None else sign * qp.H.toarray()
+    H_full = None if qp.H is None else (sign * qp.H).tocsc()
 
     # Fixed-variable elimination by substitution: constraint rows get
     # b -= A[:, fixed] @ x_fixed; objective picks up the cross terms.
@@ -293,21 +333,23 @@ def build_standard_form(
     if len(fixed_idx) > 0:
         shift = np.asarray(A_full[:, fixed_idx] @ fixed_vals).ravel()
         if H_full is not None:
-            Hff = H_full[np.ix_(fixed_idx, fixed_idx)]
+            Hff = H_full[fixed_idx][:, fixed_idx]
             c0 = c0 + float(c[fixed_idx] @ fixed_vals) + 0.5 * float(
-                fixed_vals @ Hff @ fixed_vals
+                fixed_vals @ (Hff @ fixed_vals)
             )
-            c_kept = c[keep_idx] + H_full[np.ix_(keep_idx, fixed_idx)] @ fixed_vals
-            H_kept = H_full[np.ix_(keep_idx, keep_idx)]
+            c_kept = c[keep_idx] + np.asarray(
+                H_full[keep_idx][:, fixed_idx] @ fixed_vals
+            ).ravel()
+            H_kept = H_full[keep_idx][:, keep_idx].tocsc()
         else:
             c0 = c0 + float(c[fixed_idx] @ fixed_vals)
             c_kept = c[keep_idx]
             H_kept = None
-        A_kept = np.asarray(A_full[:, keep_idx].todense())
+        A_kept = A_full[:, keep_idx].tocsr()
     else:
         c_kept = c
         H_kept = H_full
-        A_kept = qp.A.toarray()
+        A_kept = qp.A.tocsr()
 
     lcon = qp.lcon - shift
     ucon = qp.ucon - shift
@@ -319,10 +361,10 @@ def build_standard_form(
     n_int = n_kept + ns
     m_int = m_user
 
-    # Internal A = [A_kept | -I_slack], b.
-    A_int = np.zeros((m_int, n_int), dtype=np.float64)
-    A_int[:, :n_kept] = A_kept
-    A_int[ineq_rows, n_kept + np.arange(ns)] = -1.0
+    # Slack block: -I on the inequality rows.
+    slack_block = sp.coo_matrix(
+        (-np.ones(ns), (ineq_rows, np.arange(ns))), shape=(m_int, ns)
+    )
     b_int = np.zeros(m_int, dtype=np.float64)
     b_int[eq_rows] = lcon[eq_rows]
 
@@ -333,41 +375,43 @@ def build_standard_form(
     # Max-gradient scaling (rows + objective).
     x0_kept = qp.x0[keep_idx]
     if scaling and m_int > 0:
-        row_max = np.max(np.abs(A_kept), axis=1, initial=0.0)
+        row_max = np.zeros(m_int)
+        Ac = A_kept.tocsr()
+        if Ac.nnz:
+            absA = abs(Ac)
+            row_max = absA.max(axis=1).toarray().ravel()
         con_scale = np.minimum(1.0, max_gradient / np.maximum(row_max, 1e-300))
     else:
         con_scale = np.ones(m_int)
-    g0 = c_kept if H_kept is None else c_kept + H_kept @ x0_kept
+    g0 = c_kept if H_kept is None else c_kept + np.asarray(H_kept @ x0_kept).ravel()
     if scaling:
         gmax = np.max(np.abs(g0), initial=0.0)
         obj_scale = float(min(1.0, max_gradient / max(gmax, 1e-300)))
     else:
         obj_scale = 1.0
 
-    A_int = con_scale[:, None] * A_int
+    A_scaled = sp.diags(con_scale) @ A_kept
+    A_int = sp.hstack([A_scaled, slack_block], format="csr")
     b_int = con_scale * b_int
     # Slack bounds live in the scaled row space.
     lb_raw[n_kept:] = con_scale[ineq_rows] * lb_raw[n_kept:]
     ub_raw[n_kept:] = con_scale[ineq_rows] * ub_raw[n_kept:]
-    # Slack columns of A are now -con_scale; renormalize them back to -1 so
-    # the slack is s = con_scale * (Ax): divide slack cols by con_scale.
-    A_int[ineq_rows, n_kept + np.arange(ns)] = -1.0
 
-    c_int = obj_scale * c_kept
-    c_int = np.concatenate([c_int, np.zeros(ns)])
+    c_int = np.concatenate([obj_scale * c_kept, np.zeros(ns)])
     c0_int = obj_scale * c0
     H_int = None
     if H_kept is not None:
-        H_int = np.zeros((n_int, n_int), dtype=np.float64)
-        H_int[:n_kept, :n_kept] = obj_scale * H_kept
+        H_int = sp.block_diag(
+            [obj_scale * H_kept, sp.csc_matrix((ns, ns))], format="csc"
+        )
 
     has_lb = np.isfinite(lb_raw)
     has_ub = np.isfinite(ub_raw)
     lb = np.where(has_lb, lb_raw, 0.0)
     ub = np.where(has_ub, ub_raw, 0.0)
 
-    std = StandardQP(
-        c0=np.float64(c0_int),
+    std = SparseStandardQP(
+        c0=float(c0_int),
         c=c_int,
         H=H_int,
         A=A_int,
@@ -393,7 +437,20 @@ def build_standard_form(
     )
 
     # Initial point in internal coordinates: slacks start at scaled A x0.
-    s0 = con_scale[ineq_rows] * (A_kept[ineq_rows] @ x0_kept)
+    s0 = con_scale[ineq_rows] * np.asarray(A_kept[ineq_rows] @ x0_kept).ravel()
     x0_int = np.concatenate([x0_kept, s0])
     y0_int = qp.y0 / np.maximum(con_scale, 1e-300) * obj_scale
     return std, info, x0_int, y0_int
+
+
+def build_standard_form(
+    qp: QuadraticProblem,
+    scaling: bool = True,
+    max_gradient: float = 100.0,
+) -> tuple[StandardQP, TransformInfo, np.ndarray, np.ndarray]:
+    """Dense-path standard form: the sparse core, densified (SURVEY §7.1:
+    dense padded arrays beat sparse on the TPU MXU for moderate n)."""
+    std_sp, info, x0_int, y0_int = build_standard_form_sparse(
+        qp, scaling=scaling, max_gradient=max_gradient
+    )
+    return std_sp.densify(), info, x0_int, y0_int

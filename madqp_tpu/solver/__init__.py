@@ -1,6 +1,7 @@
 from .state import IPMState, ProblemArrays, problem_to_device, count_onesided
 from .mpc import MPCKernel
 from .driver import MPCSolver, solve
+from .host import HostMPCSolver, solve_host
 
 __all__ = [
     "IPMState",
@@ -10,4 +11,6 @@ __all__ = [
     "MPCKernel",
     "MPCSolver",
     "solve",
+    "HostMPCSolver",
+    "solve_host",
 ]
