@@ -87,6 +87,7 @@ def main():
             "objective": float(final.obj_val),
             "device": str(jax.devices()[0]),
             "dtype": str(dtype),
+            "factorization_dtype": opts.factorization_dtype or str(dtype),
         },
     }
     print(json.dumps(result))
