@@ -376,6 +376,21 @@ class HostMPCSolver:
             if max(inf_pr, inf_du, inf_compl) <= opts.tol:
                 status = Status.SOLVE_SUCCEEDED
                 break
+            # Infeasibility signature (same predicate as the device path).
+            stuck = 1e3 * opts.tol
+            dual_mag = max(
+                np.max(np.abs(y), initial=0.0),
+                float(K._inf_norm(zl)), float(K._inf_norm(zu)),
+            )
+            if (inf_du <= opts.tol and inf_compl <= opts.tol
+                    and inf_pr > stuck and dual_mag > opts.diverge_tol):
+                status = Status.INFEASIBLE_PROBLEM_DETECTED
+                break
+            if (inf_pr <= opts.tol and inf_compl <= opts.tol
+                    and inf_du > stuck
+                    and float(K._inf_norm(x)) > opts.diverge_tol):
+                status = Status.INFEASIBLE_PROBLEM_DETECTED
+                break
             if k >= opts.max_iter:
                 status = Status.MAXIMUM_ITERATIONS_EXCEEDED
                 break

@@ -32,6 +32,7 @@ from ..utils.options import (
     NoRegularization,
 )
 from .state import (
+    DIVERGED,
     IPMState,
     MAX_ITER,
     ProblemArrays,
@@ -87,10 +88,12 @@ class MPCKernel:
         f = self.kkt.factorize(p, pr_diag, del_c)
         return f, self.kkt.factor_ok(f)
 
-    def factorize_with_retry(self, p, x, lb, ub, zl, zu, del_w, del_c):
+    def _retry_loop(self, make_factors, del_w, del_c):
         """Factorize; on failure escalate both regularizations by 100x, up
-        to 3 trials (reference factorize_regularized_system!)."""
-        f0, ok0 = self._factorize(p, x, lb, ub, zl, zu, del_w, del_c)
+        to 3 trials (reference factorize_regularized_system!).  Zero
+        regularization is seeded with a small nonzero so singular KKT
+        systems (e.g. rank-deficient A) still factor."""
+        f0, ok0 = make_factors(del_w, del_c)
 
         def cond(carry):
             trial, _, _, _, ok = carry
@@ -98,15 +101,23 @@ class MPCKernel:
 
         def body(carry):
             trial, dw, dc, _, _ = carry
-            dw = dw * _REG_ESCALATION
-            dc = dc * _REG_ESCALATION
-            f, ok = self._factorize(p, x, lb, ub, zl, zu, dw, dc)
+            dw = jnp.where(dw != 0.0, dw * _REG_ESCALATION, 1e-8)
+            dc = jnp.where(dc != 0.0, dc * _REG_ESCALATION, -1e-8)
+            f, ok = make_factors(dw, dc)
             return (trial + 1, dw, dc, f, ok)
 
         trial, dw, dc, f, ok = lax.while_loop(
-            cond, body, (jnp.int32(1), del_w, del_c, f0, ok0)
+            cond, body,
+            (jnp.int32(1), jnp.asarray(del_w, self.dtype),
+             jnp.asarray(del_c, self.dtype), f0, ok0),
         )
         return f, dw, dc, ok
+
+    def factorize_with_retry(self, p, x, lb, ub, zl, zu, del_w, del_c):
+        return self._retry_loop(
+            lambda dw, dc: self._factorize(p, x, lb, ub, zl, zu, dw, dc),
+            del_w, del_c,
+        )
 
     def solve_system(self, p, factors, p_rhs, x, lb, ub, zl, zu, del_w, del_c):
         """Unreduced KKT solve + residual check
@@ -254,10 +265,33 @@ class MPCKernel:
         # TPU runtime and ordered callbacks deadlock inside while_loop.
 
         worst = jnp.maximum(jnp.maximum(inf_pr, inf_du), inf_compl)
+        # Infeasibility signature (a detection the reference lacks,
+        # SURVEY §4): dual side converged + primal infeasibility stuck +
+        # diverging multipliers => primal infeasible; the mirrored
+        # conditions with a diverging primal iterate => dual infeasible
+        # (unbounded).
+        tol = self.opts.tol
+        stuck = 1e3 * tol
+        dual_mag = jnp.maximum(
+            K._inf_norm(y), jnp.maximum(K._inf_norm(zl), K._inf_norm(zu))
+        )
+        primal_infeas = (
+            (inf_du <= tol) & (inf_compl <= tol) & (inf_pr > stuck)
+            & (dual_mag > self.opts.diverge_tol)
+        )
+        dual_infeas = (
+            (inf_pr <= tol) & (inf_compl <= tol) & (inf_du > stuck)
+            & (K._inf_norm(x) > self.opts.diverge_tol)
+        )
+        diverged = primal_infeas | dual_infeas
         new_status = jnp.where(
             worst <= self.opts.tol,
             SUCCESS,
-            jnp.where(state.k >= self.opts.max_iter, MAX_ITER, RUNNING),
+            jnp.where(
+                diverged,
+                DIVERGED,
+                jnp.where(state.k >= self.opts.max_iter, MAX_ITER, RUNNING),
+            ),
         ).astype(jnp.int32)
 
         def finish(s: IPMState) -> IPMState:
@@ -265,15 +299,19 @@ class MPCKernel:
 
         def work(state: IPMState) -> IPMState:
             del_w, del_c, reg_p, reg_d = self._update_regularization(state)
-            factors, del_w, del_c, fact_ok = self.factorize_with_retry(
-                p, x, lb, ub, zl, zu, del_w, del_c
-            )
+            with jax.named_scope("kkt_factorize"):
+                factors, del_w, del_c, fact_ok = self.factorize_with_retry(
+                    p, x, lb, ub, zl, zu, del_w, del_c
+                )
 
             # Predictor (affine scaling).
-            p_aff = K.predictor_rhs(g, jacl, c_res, x, lb, ub, *masks, zl, zu)
-            d_aff, ok1 = self.solve_system(
-                p, factors, p_aff, x, lb, ub, zl, zu, del_w, del_c
-            )
+            with jax.named_scope("predictor"):
+                p_aff = K.predictor_rhs(
+                    g, jacl, c_res, x, lb, ub, *masks, zl, zu
+                )
+                d_aff, ok1 = self.solve_system(
+                    p, factors, p_aff, x, lb, ub, zl, zu, del_w, del_c
+                )
             a_aff_p, a_aff_d = K.fraction_to_boundary(
                 d_aff, x, lb, ub, *masks, zl, zu, 1.0
             )
@@ -293,13 +331,14 @@ class MPCKernel:
             )
 
             # Mehrotra corrector.
-            p_corr = K.correction_rhs(
-                g, jacl, c_res, x, lb, ub, *masks, zl, zu,
-                mu_new, corr_lb, corr_ub,
-            )
-            d, ok2 = self.solve_system(
-                p, factors, p_corr, x, lb, ub, zl, zu, del_w, del_c
-            )
+            with jax.named_scope("corrector"):
+                p_corr = K.correction_rhs(
+                    g, jacl, c_res, x, lb, ub, *masks, zl, zu,
+                    mu_new, corr_lb, corr_ub,
+                )
+                d, ok2 = self.solve_system(
+                    p, factors, p_corr, x, lb, ub, zl, zu, del_w, del_c
+                )
             failed = (~fact_ok) | (~ok1) | (~ok2)
 
             # Gondzio multi-corrections.
@@ -360,8 +399,14 @@ class MPCKernel:
 
         # Initial KKT: pr_diag = del_w exactly (reference src/solver.jl:16-18
         # — no barrier terms in the starting-point system).
-        pr_diag = jnp.full(p.n, 1.0, dt) * del_w
-        factors = self.kkt.factorize(p, pr_diag, del_c)
+        # ... retried with escalation like the in-loop factorization.
+        def make_init_factors(dw, dc):
+            f = self.kkt.factorize(p, jnp.full(p.n, 1.0, dt) * dw, dc)
+            return f, self.kkt.factor_ok(f)
+
+        factors, del_w, del_c, _ = self._retry_loop(
+            make_init_factors, del_w, del_c
+        )
 
         # Step 1: primal least squares x += dx with A dx ~ (b - A x).
         dx, _ = self.kkt.solve(factors, zero_n, -c_res)

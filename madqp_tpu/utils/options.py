@@ -157,6 +157,12 @@ class IPMOptions:
     mu_min: float = 1e-11
     mu_superlinear_decrease_power: float = 1.5
     tau_min: float = 0.99
+    # Infeasibility detection (beyond the reference, which only stops on
+    # tol/max_iter — SURVEY §4 gap): declare infeasibility when one side of
+    # the KKT conditions has converged, the other is stuck above
+    # sqrt-ish tolerance, and the corresponding iterates have diverged past
+    # this magnitude.
+    diverge_tol: float = 1e8
     # Numerics (TPU-specific): dtype of the on-device solver state, and an
     # optionally lower dtype for the KKT factorization.  float32
     # factorization + f64 iterative refinement (set max_refine_steps >= 1)

@@ -235,3 +235,40 @@ class TestDriverBehavior:
         # max x1 - x1^2 - x2^2 on [0,1]^2 -> x = (0.5, 0), obj = 0.25
         assert stats.solution[0] == pytest.approx(0.5, abs=1e-4)
         assert stats.objective == pytest.approx(0.25, abs=1e-4)
+
+
+class TestInfeasibilityDetection:
+    """Detection the reference lacks (SURVEY §4: 'no infeasible/unbounded
+    detection — the solver only stops on tol/max_iter')."""
+
+    def _infeasible_lp(self):
+        return mq.QuadraticProblem(
+            c=np.ones(2),
+            A=np.array([[1.0, 1.0], [1.0, 1.0]]),
+            lcon=np.array([1.0, 2.0]),
+            ucon=np.array([1.0, 2.0]),
+            lvar=np.zeros(2),
+            uvar=np.full(2, np.inf),
+        )
+
+    def test_primal_infeasible_lp(self):
+        s = mq.solve(self._infeasible_lp(), max_iter=300, **QUIET)
+        assert s.status == Status.INFEASIBLE_PROBLEM_DETECTED
+
+    def test_unbounded_lp(self):
+        qp = mq.QuadraticProblem(
+            c=np.array([-1.0]), A=np.zeros((0, 1)), lcon=np.zeros(0),
+            ucon=np.zeros(0), lvar=np.zeros(1), uvar=np.array([np.inf]),
+        )
+        s = mq.solve(qp, max_iter=300, **QUIET)
+        assert s.status == Status.INFEASIBLE_PROBLEM_DETECTED
+
+    def test_host_path_detects_infeasible(self):
+        from madqp_tpu.solver.host import solve_host
+
+        s = solve_host(self._infeasible_lp(), max_iter=300, **QUIET)
+        assert s.status == Status.INFEASIBLE_PROBLEM_DETECTED
+
+    def test_feasible_not_flagged(self):
+        s = mq.solve(mq.dense_dummy_qp(15, 8, seed=9), **QUIET)
+        assert s.status == Status.SOLVE_SUCCEEDED
