@@ -66,8 +66,14 @@ class DenseCondensedKKT:
 
     name = "condensed"
 
-    def __init__(self, fact_dtype=None):
+    def __init__(self, fact_dtype=None, chol_backend: str = "xla"):
         self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
+        if chol_backend == "pallas":
+            from .pallas_chol import select_cholesky
+
+            self._chol = select_cholesky("pallas")
+        else:
+            self._chol = lambda M: jsl.cholesky(M, lower=True)
 
     def _chol_scaled(self, M):
         """Jacobi-scale M to unit diagonal, factorize (optionally in
@@ -77,7 +83,7 @@ class DenseCondensedKKT:
         Ms = scale[:, None] * M * scale[None, :]
         if self.fact_dtype is not None and Ms.dtype != self.fact_dtype:
             Ms = Ms.astype(self.fact_dtype)
-        return jsl.cholesky(Ms, lower=True), scale
+        return self._chol(Ms), scale
 
     def _chol_apply(self, chol, scale, r, out_dtype):
         """Solve M x = r through the scaled factorization."""
@@ -170,7 +176,8 @@ class DenseK2KKT:
 
     name = "k2"
 
-    def __init__(self, fact_dtype=None):
+    def __init__(self, fact_dtype=None, chol_backend: str = "xla"):
+        # chol_backend unused: LU formulation
         self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
 
     def _assemble(self, H, A, pr_diag, del_c):
@@ -275,7 +282,7 @@ _KKT_REGISTRY = {
 }
 
 
-def make_kkt(name: str, fact_dtype=None):
+def make_kkt(name: str, fact_dtype=None, chol_backend: str = "xla"):
     if name == "schur":
         # Registered lazily to avoid a circular import; SchurKKT pairs with
         # parallel.structured.TwoStageProblem only.
@@ -289,4 +296,4 @@ def make_kkt(name: str, fact_dtype=None):
             f"unknown kkt_system '{name}'; options: "
             f"{sorted(_KKT_REGISTRY) + ['schur']}"
         )
-    return cls(fact_dtype=fact_dtype)
+    return cls(fact_dtype=fact_dtype, chol_backend=chol_backend)

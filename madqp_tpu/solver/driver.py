@@ -113,8 +113,13 @@ class MPCSolver:
         # deadlock inside while_loop on CPU), so a verbose solve mirrors the
         # reference's host-side print loop.
         use_python_loop = (
-            self.opts.loop_mode == "python" or self.opts.print_level <= INFO
+            self.opts.loop_mode == "python"
+            or self.opts.print_level <= INFO
+            # wall-time limits need host-side stepping: the jitted solve is
+            # one uninterruptible XLA call
+            or self.opts.max_wall_time < 1e6
         )
+        self._walltime_exceeded = False
         try:
             if use_python_loop:
                 final = self._run_python_loop()
@@ -123,7 +128,10 @@ class MPCSolver:
                     self.prob, self._x0, self._y0, self._lb0, self._ub0
                 )
                 jax.block_until_ready(final)
-            status = _STATUS_MAP.get(int(final.status), Status.INTERNAL_ERROR)
+            if self._walltime_exceeded:
+                status = Status.MAXIMUM_WALLTIME_EXCEEDED
+            else:
+                status = _STATUS_MAP.get(int(final.status), Status.INTERNAL_ERROR)
         except MadQPError as e:
             status = e.status
             if self.opts.rethrow_error:
@@ -142,8 +150,12 @@ class MPCSolver:
         the reference's print-before-step ordering."""
         verbose = self.opts.print_level <= INFO
         scale = self.info.obj_scale
+        deadline = time.time() + self.opts.max_wall_time
         state = self._init_jit(self.prob, self._x0, self._y0, self._lb0, self._ub0)
         while int(state.status) == S.RUNNING:
+            if time.time() > deadline:
+                self._walltime_exceeded = True
+                return state
             prev = state
             state = self._iter_jit(self.prob, prev)
             if verbose:

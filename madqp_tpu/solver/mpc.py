@@ -60,7 +60,10 @@ class MPCKernel:
     def __init__(self, opts: IPMOptions):
         self.opts = opts
         fact_dtype = opts.factorization_dtype or None
-        self.kkt = make_kkt(opts.kkt_system, fact_dtype=fact_dtype)
+        self.kkt = make_kkt(
+            opts.kkt_system, fact_dtype=fact_dtype,
+            chol_backend="pallas" if opts.linear_solver == "pallas" else "xla",
+        )
         self.dtype = jnp.dtype(opts.dtype)
         self.eps = float(jnp.finfo(self.dtype).eps)
 

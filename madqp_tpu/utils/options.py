@@ -129,6 +129,7 @@ class IPMOptions:
     # Convergence
     tol: float = 1e-8
     max_iter: int = 3000
+    max_wall_time: float = 1e6   # seconds; enforced host-side between runs
     kappa_d: float = 1e-5
     # KKT / linear solver
     kkt_system: str = KKTSystem.CONDENSED
