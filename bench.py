@@ -14,6 +14,13 @@ import numpy as np
 
 
 def main():
+    import os
+
+    # Persistent compile cache: bench runs on TPU where first compiles are
+    # minutes; must be set before importing madqp_tpu.
+    os.environ.setdefault(
+        "MADQP_COMPILE_CACHE", os.path.expanduser("~/.cache/madqp_jax")
+    )
     import jax
     import madqp_tpu as mq
     from madqp_tpu.models.qp import build_standard_form

@@ -42,13 +42,18 @@ def run_instance(name, qp, options):
         "linear_solver_time": -1.0,
     }
     try:
+        backend = options.get("backend", "device")
+        solve_opts = {k: v for k, v in options.items() if k != "backend"}
         qp_p, pinfo, ok = mq.presolve_qp(qp)
         if not ok:
             record["status"] = f"presolve:{pinfo.status.value}"
             return record
         qp_s, scaling = mq.scale_qp(qp_p)
         t0 = time.time()
-        stats = mq.solve(qp_s, **options)
+        if backend == "host":
+            stats = mq.solve_host(qp_s, **solve_opts)
+        else:
+            stats = mq.solve(qp_s, **solve_opts)
         record["total_time"] = time.time() - t0
         stats = mq.unscale_stats(scaling, stats)
         record["status"] = int(stats.status == mq.Status.SOLVE_SUCCEEDED)
@@ -83,6 +88,11 @@ def main():
     ap.add_argument("--max-iter", type=int, default=300)
     ap.add_argument("--max-ncorr", type=int, default=3)
     ap.add_argument("--kkt", default="condensed")
+    ap.add_argument("--backend", choices=["device", "host"], default="device",
+                    help="device = jitted dense TPU path; host = sparse "
+                         "native-LDL CPU path (large instances)")
+    ap.add_argument("--mixed-precision", action="store_true",
+                    help="f32 factorization + f64 refinement (device path)")
     ap.add_argument("--out", default="")
     ap.add_argument("--exclude", default="", help="comma-separated instance names")
     args = ap.parse_args()
@@ -95,7 +105,13 @@ def main():
         kkt_system=args.kkt,
         step_rule=mq.AdaptiveStep(0.995),
         regularization=mq.FixedRegularization(1e-8, -1e-8),
+        backend=args.backend,
     )
+    if args.backend == "device":
+        # Bucketed padding: ragged suites share compiled executables.
+        options["pad_mode"] = "bucket"
+    if args.mixed_precision:
+        options.update(factorization_dtype="float32", max_refine_steps=1)
     excluded = set(filter(None, args.exclude.split(",")))
 
     instances = []

@@ -16,11 +16,12 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: full MPC solves are large XLA programs
-# (while_loop over factorizations); first compiles run minutes on TPU.
-_cache_dir = _os.environ.get(
-    "MADQP_COMPILE_CACHE", _os.path.expanduser("~/.cache/madqp_jax")
-)
+# Persistent compilation cache (opt-in via MADQP_COMPILE_CACHE=<dir>):
+# full MPC solves are large XLA programs whose first TPU compiles run
+# minutes, so bench/production runs should set this.  It is NOT enabled by
+# default because reloading CPU AOT artifacts compiled with different
+# machine features stalls for minutes (observed in this environment).
+_cache_dir = _os.environ.get("MADQP_COMPILE_CACHE", "")
 if _cache_dir and _cache_dir != "0":
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
@@ -59,7 +60,7 @@ from .models import (  # noqa: E402
     unscale_stats,
     presolve_qp,
 )
-from .io import read_mps  # noqa: E402
+from .io import read_mps, write_mps  # noqa: E402
 from .solver import MPCSolver, solve, HostMPCSolver, solve_host  # noqa: E402
 
 __version__ = "0.1.0"
@@ -91,6 +92,7 @@ __all__ = [
     "unscale_stats",
     "presolve_qp",
     "read_mps",
+    "write_mps",
     "MPCSolver",
     "solve",
     "HostMPCSolver",

@@ -39,6 +39,23 @@ _STATUS_MAP = {
 }
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_kernel(opts: IPMOptions):
+    """Cache (kernel, jitted fns) by options so solver instances with the
+    same configuration share jit traces — combined with shape bucketing
+    (pad_mode) this makes ragged suites reuse compiled executables."""
+    kernel = MPCKernel(opts)
+    return (
+        kernel,
+        jax.jit(kernel.solve_from),
+        jax.jit(kernel.iteration),
+        jax.jit(kernel.init_state),
+    )
+
+
 class MPCSolver:
     """Mehrotra predictor-corrector interior-point solver for LP/QP on TPU."""
 
@@ -69,16 +86,32 @@ class MPCSolver:
         self.std, self.info, x0_int, y0_int = build_standard_form(
             qp, scaling=opts.scaling, max_gradient=opts.max_gradient
         )
+        if opts.pad_mode == "bucket":
+            # Pad to power-of-two shape buckets so ragged suites share
+            # compiled executables (stats recovery slices back via info).
+            from ..parallel.batched import pad_standard
+
+            def bucket(v, lo=32):
+                b = lo
+                while b < v:
+                    b *= 2
+                return b
+
+            m_tot = bucket(self.std.m) if self.std.m else 0
+            n_tot = bucket(self.std.n + (m_tot - self.std.m))
+            self.std, x0_int, y0_int = pad_standard(
+                self.std, x0_int, y0_int, n_tot, m_tot,
+                force_H=self.std.H is not None,
+            )
         dtype = jnp.dtype(opts.dtype)
         self.prob, lb, ub = S.problem_to_device(self.std, dtype)
         self._lb0, self._ub0 = lb, ub
         self._x0 = jnp.asarray(x0_int, dtype)
         self._y0 = jnp.asarray(y0_int, dtype)
 
-        self.kernel = MPCKernel(opts)
-        self._solve_jit = jax.jit(self.kernel.solve_from)
-        self._iter_jit = jax.jit(self.kernel.iteration)
-        self._init_jit = jax.jit(self.kernel.init_state)
+        self.kernel, self._solve_jit, self._iter_jit, self._init_jit = (
+            _jitted_kernel(opts)
+        )
         self.cnt = Counters(start_time=t0, init_time=time.time() - t0)
 
     # ------------------------------------------------------------------
@@ -93,10 +126,9 @@ class MPCSolver:
             if ignored:
                 self.logger.print_ignored_options(ignored)
             self.opts = opts
-            self.kernel = MPCKernel(opts)
-            self._solve_jit = jax.jit(self.kernel.solve_from)
-            self._iter_jit = jax.jit(self.kernel.iteration)
-            self._init_jit = jax.jit(self.kernel.init_state)
+            self.kernel, self._solve_jit, self._iter_jit, self._init_jit = (
+                _jitted_kernel(opts)
+            )
 
         cnt = self.cnt
         cnt.start_time = time.time()
@@ -190,10 +222,12 @@ class MPCSolver:
         cnt.factorizations = int(final.n_fact)
         cnt.backsolves = int(final.n_solve)
 
-        x_int = np.asarray(final.x, dtype=np.float64)
-        y_int = np.asarray(final.y, dtype=np.float64)
-        zl_int = np.asarray(final.zl, dtype=np.float64)
-        zu_int = np.asarray(final.zu, dtype=np.float64)
+        # Slice off any bucket padding (pad_mode): recovery uses the
+        # original internal sizes recorded in TransformInfo.
+        x_int = np.asarray(final.x, dtype=np.float64)[: info.n]
+        y_int = np.asarray(final.y, dtype=np.float64)[: info.m]
+        zl_int = np.asarray(final.zl, dtype=np.float64)[: info.n]
+        zu_int = np.asarray(final.zu, dtype=np.float64)[: info.n]
 
         x_user = info.recover_x(x_int)
         y_user = info.recover_y(y_int)

@@ -173,6 +173,10 @@ class IPMOptions:
     # Execution mode: "jit" runs the whole solve in one lax.while_loop;
     # "python" steps iterations from the host (debuggable, prints eagerly).
     loop_mode: str = "jit"
+    # Shape bucketing for suite runs (SURVEY §7.3: ragged suites force
+    # recompilation): "bucket" pads the internal problem to power-of-two
+    # shape buckets so instances share compiled executables.
+    pad_mode: str = ""
 
     def replace(self, **kwargs) -> "IPMOptions":
         return dataclasses.replace(self, **kwargs)

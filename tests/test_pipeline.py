@@ -193,3 +193,27 @@ class TestPresolve:
         )
         _, info, ok = presolve_qp(qp)
         assert not ok and info.status == PresolveStatus.UNBOUNDED
+
+
+class TestMPSRoundTrip:
+    """write_mps -> read_mps -> solve must reproduce the original problem
+    (writer is beyond the reference: QPSReader is read-only)."""
+
+    @pytest.mark.parametrize("make", [
+        lambda: mq.random_lp(25, 10, seed=4),
+        lambda: mq.random_qp(20, 8, seed=5),
+        lambda: mq.dense_dummy_qp(15, 6, seed=6),
+    ], ids=["lp", "qp", "dummy"])
+    def test_roundtrip(self, make, tmp_path):
+        from madqp_tpu.io import write_mps
+
+        qp = make()
+        path = str(tmp_path / "rt.mps")
+        write_mps(qp, path)
+        qp2 = mq.read_mps(path)
+        assert qp2.nvar == qp.nvar and qp2.ncon == qp.ncon
+        a = mq.solve(qp, print_level=40)
+        b = mq.solve(qp2, print_level=40)
+        assert b.status == mq.Status.SOLVE_SUCCEEDED
+        assert b.objective == pytest.approx(a.objective, abs=1e-6)
+        np.testing.assert_allclose(b.solution, a.solution, atol=1e-5)

@@ -272,3 +272,27 @@ class TestInfeasibilityDetection:
     def test_feasible_not_flagged(self):
         s = mq.solve(mq.dense_dummy_qp(15, 8, seed=9), **QUIET)
         assert s.status == Status.SOLVE_SUCCEEDED
+
+
+class TestBucketedPadding:
+    """pad_mode='bucket' pads to shape buckets (ragged-suite compile
+    amortization, SURVEY §7.3) without changing results."""
+
+    def test_matches_unpadded(self):
+        qp = mq.dense_dummy_qp(13, 6, seed=17)
+        a = mq.solve(qp, pad_mode="bucket", **QUIET)
+        b = mq.solve(qp, **QUIET)
+        assert a.status == Status.SOLVE_SUCCEEDED
+        assert a.objective == pytest.approx(b.objective, abs=1e-7)
+        np.testing.assert_allclose(a.solution, b.solution, atol=1e-6)
+        np.testing.assert_allclose(a.multipliers, b.multipliers, atol=1e-6)
+        assert len(a.solution) == qp.nvar
+        assert len(a.multipliers) == qp.ncon
+
+    def test_same_bucket_shares_compile(self):
+        # Two same-bucket instances must produce correct results through the
+        # shared jitted kernel (lru-cached by options).
+        for seed in (21, 22):
+            qp = mq.dense_dummy_qp(10 + seed % 3, 5, seed=seed)
+            s = mq.solve(qp, pad_mode="bucket", **QUIET)
+            assert s.status == Status.SOLVE_SUCCEEDED
