@@ -53,6 +53,7 @@ def _jitted_kernel(opts: IPMOptions):
         jax.jit(kernel.solve_from),
         jax.jit(kernel.iteration),
         jax.jit(kernel.init_state),
+        jax.jit(kernel.solve_from_warm),
     )
 
 
@@ -109,9 +110,9 @@ class MPCSolver:
         self._x0 = jnp.asarray(x0_int, dtype)
         self._y0 = jnp.asarray(y0_int, dtype)
 
-        self.kernel, self._solve_jit, self._iter_jit, self._init_jit = (
-            _jitted_kernel(opts)
-        )
+        (self.kernel, self._solve_jit, self._iter_jit, self._init_jit,
+         self._warm_jit) = _jitted_kernel(opts)
+        self._warm_point = None
         self.cnt = Counters(start_time=t0, init_time=time.time() - t0)
 
     # ------------------------------------------------------------------
@@ -126,9 +127,8 @@ class MPCSolver:
             if ignored:
                 self.logger.print_ignored_options(ignored)
             self.opts = opts
-            self.kernel, self._solve_jit, self._iter_jit, self._init_jit = (
-                _jitted_kernel(opts)
-            )
+            (self.kernel, self._solve_jit, self._iter_jit, self._init_jit,
+             self._warm_jit) = _jitted_kernel(opts)
 
         cnt = self.cnt
         cnt.start_time = time.time()
@@ -153,7 +153,13 @@ class MPCSolver:
         )
         self._walltime_exceeded = False
         try:
-            if use_python_loop:
+            if self.opts.warm_start and self._warm_point is not None:
+                x0, y0, zl0, zu0 = self._warm_point
+                final = self._warm_jit(
+                    self.prob, x0, y0, zl0, zu0, self._lb0, self._ub0
+                )
+                jax.block_until_ready(final)
+            elif use_python_loop:
                 final = self._run_python_loop()
             else:
                 final = self._solve_jit(
@@ -173,6 +179,60 @@ class MPCSolver:
             self.logger.notice(f"EXIT: {get_status_output(status)}")
 
         return self._build_stats(final, status)
+
+    def set_initial_point(self, x=None, y=None, zl=None, zu=None):
+        """Supply a user-space warm-start point (enables opts.warm_start).
+
+        Maps user coordinates into the internal (scaled, slack-augmented)
+        space — the inverse of the stats recovery.  Missing pieces default
+        to the cold-start values / ones.
+        """
+        info = self.info
+        dtype = jnp.dtype(self.opts.dtype)
+        n, m = info.n, info.m
+
+        if x is not None:
+            x = np.asarray(x, dtype=np.float64)
+            x_kept = x[info.keep_idx]
+            s_rows = info.ineq_rows
+            s0 = info.con_scale[s_rows] * np.asarray(
+                self.qp.A[s_rows] @ x
+            ).ravel()
+            x_int = np.concatenate([x_kept, s0])
+        else:
+            x_int = np.asarray(self._x0, dtype=np.float64)[:n]
+        if y is not None:
+            y = np.asarray(y, dtype=np.float64)
+            sign = 1.0 if info.minimize else -1.0
+            y_int = sign * y * info.obj_scale / np.maximum(info.con_scale, 1e-300)
+        else:
+            y_int = np.asarray(self._y0, dtype=np.float64)[:m]
+
+        def z_int(z_user):
+            if z_user is None:
+                return np.ones(n)
+            z_user = np.asarray(z_user, dtype=np.float64)
+            out = np.ones(n)
+            out[: info.n_kept] = info.obj_scale * z_user[info.keep_idx]
+            return out
+
+        zl_int = z_int(zl)
+        zu_int = z_int(zu)
+
+        n_tot = self.prob.n  # may exceed info.n under pad_mode bucketing
+        pad = lambda v, size, fill: np.concatenate(
+            [v, np.full(size - len(v), fill)]
+        ) if size > len(v) else v
+        self._warm_point = (
+            jnp.asarray(pad(x_int, n_tot, 0.0), dtype),
+            jnp.asarray(pad(y_int, self.prob.m, 0.0), dtype),
+            jnp.asarray(pad(zl_int, n_tot, 1.0), dtype),
+            jnp.asarray(pad(zu_int, n_tot, 1.0), dtype),
+        )
+        self.opts = self.opts.replace(warm_start=True)
+        (self.kernel, self._solve_jit, self._iter_jit, self._init_jit,
+         self._warm_jit) = _jitted_kernel(self.opts)
+        return self
 
     def _run_python_loop(self):
         """Host-driven stepping with the reference's 9-column iteration line

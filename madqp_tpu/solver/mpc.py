@@ -381,6 +381,43 @@ class MPCKernel:
 
     # -- starting point (src/solver.jl:6-182) --------------------------------
 
+    def init_state_warm(self, p, x0, y0, zl0, zu0, lb0, ub0) -> IPMState:
+        """Warm start (beyond the reference): push the supplied primal-dual
+        point strictly inside bounds/positivity and start iterating, skipping
+        the three least-squares starting solves."""
+        masks = (p.has_lb, p.has_ub)
+        dt = self.dtype
+        opt = self.opts
+
+        lb, ub = K.relax_bounds(lb0, ub0, *masks, opt.bound_relax_factor)
+        x = K.push_inside_bounds(
+            x0, lb, ub, *masks, opt.bound_push, opt.bound_fac
+        )
+        floor = jnp.asarray(1e-8, dt)
+        zl = jnp.where(p.has_lb, jnp.maximum(zl0, floor), 0.0)
+        zu = jnp.where(p.has_ub, jnp.maximum(zu0, floor), 0.0)
+
+        g = self.gradient(p, x)
+        zero = jnp.asarray(0.0, dt)
+        zero_n = jnp.zeros(p.n, dt)
+        del_w, del_c, reg_p, reg_d = self._init_regularization()
+        # Barrier consistent with the supplied point.
+        mu0 = K.complementarity_measure(x, lb, ub, *masks, zl, zu)
+        mu0 = jnp.clip(mu0, opt.mu_min, opt.mu_init)
+        return IPMState(
+            x=x, y=y0, zl=zl, zu=zu, lb=lb, ub=ub,
+            d=K.KKTVec(x=zero_n, y=jnp.zeros(p.m, dt), zl=zero_n, zu=zero_n),
+            mu=mu0,
+            del_w=del_w, del_c=del_c, reg_p=reg_p, reg_d=reg_d,
+            alpha_p=jnp.asarray(1.0, dt), alpha_d=jnp.asarray(1.0, dt),
+            obj_val=self.objective(p, x),
+            inf_pr=zero, inf_du=zero, inf_compl=zero,
+            d_norm=zero,
+            norm_b=K._inf_norm(p.b), norm_c=K._inf_norm(g),
+            k=jnp.int32(0), n_fact=jnp.int32(0), n_solve=jnp.int32(0),
+            status=jnp.int32(RUNNING),
+        )
+
     def init_state(self, p: ProblemArrays, x0, y0, lb0, ub0) -> IPMState:
         masks = (p.has_lb, p.has_ub)
         dt = self.dtype
@@ -452,3 +489,7 @@ class MPCKernel:
     def solve_from(self, p: ProblemArrays, x0, y0, lb0, ub0) -> IPMState:
         """init + run as a single traced computation."""
         return self.run(p, self.init_state(p, x0, y0, lb0, ub0))
+
+    def solve_from_warm(self, p, x0, y0, zl0, zu0, lb0, ub0) -> IPMState:
+        """Warm-started solve as a single traced computation."""
+        return self.run(p, self.init_state_warm(p, x0, y0, zl0, zu0, lb0, ub0))

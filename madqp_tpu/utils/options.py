@@ -177,6 +177,10 @@ class IPMOptions:
     # recompilation): "bucket" pads the internal problem to power-of-two
     # shape buckets so instances share compiled executables.
     pad_mode: str = ""
+    # Warm starting (beyond the reference): skip the Mehrotra least-squares
+    # starting point and start from user-provided (x, y, zl, zu) pushed
+    # strictly inside bounds.  Use MPCSolver.set_initial_point().
+    warm_start: bool = False
 
     def replace(self, **kwargs) -> "IPMOptions":
         return dataclasses.replace(self, **kwargs)

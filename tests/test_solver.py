@@ -296,3 +296,47 @@ class TestBucketedPadding:
             qp = mq.dense_dummy_qp(10 + seed % 3, 5, seed=seed)
             s = mq.solve(qp, pad_mode="bucket", **QUIET)
             assert s.status == Status.SOLVE_SUCCEEDED
+
+
+class TestWarmStart:
+    """Warm starting (beyond the reference): re-solving from a previous
+    solution converges in fewer iterations."""
+
+    def test_warm_from_solution(self):
+        qp = mq.dense_dummy_qp(25, 12, seed=8)
+        cold = mq.solve(qp, **QUIET)
+        solver = mq.MPCSolver(qp, **QUIET)
+        solver.set_initial_point(
+            x=cold.solution, y=cold.multipliers,
+            zl=cold.multipliers_L, zu=cold.multipliers_U,
+        )
+        warm = solver.solve()
+        assert warm.status == Status.SOLVE_SUCCEEDED
+        assert warm.iter < cold.iter
+        assert warm.objective == pytest.approx(cold.objective, abs=1e-6)
+
+    def test_warm_perturbed_problem(self):
+        """MPC-style scenario: warm start on a nearby problem."""
+        qp1 = mq.dense_dummy_qp(25, 12, seed=8)
+        sol1 = mq.solve(qp1, **QUIET)
+        qp2 = mq.dense_dummy_qp(25, 12, seed=8)
+        qp2.c = qp2.c + 0.01  # perturb objective
+        cold = mq.solve(qp2, **QUIET)
+        solver = mq.MPCSolver(qp2, **QUIET)
+        solver.set_initial_point(
+            x=sol1.solution, y=sol1.multipliers,
+            zl=sol1.multipliers_L, zu=sol1.multipliers_U,
+        )
+        warm = solver.solve()
+        assert warm.status == Status.SOLVE_SUCCEEDED
+        assert warm.objective == pytest.approx(cold.objective, abs=1e-6)
+
+    def test_warm_partial_point(self):
+        """x-only warm start (duals default)."""
+        qp = mq.dense_dummy_qp(20, 10, seed=12)
+        cold = mq.solve(qp, **QUIET)
+        solver = mq.MPCSolver(qp, **QUIET)
+        solver.set_initial_point(x=cold.solution)
+        warm = solver.solve()
+        assert warm.status == Status.SOLVE_SUCCEEDED
+        assert warm.objective == pytest.approx(cold.objective, abs=1e-6)
