@@ -57,10 +57,14 @@ def main():
     t0 = time.time()
     final = solver.solve_batch()
     compile_s = time.time() - t0
-    # timed run (fresh start states are identical; the solve recomputes)
+    # timed runs over value-perturbed problems: identical repeated requests
+    # can be served from caches in remote runtimes and undercount.
+    reps = 3
     t0 = time.time()
-    final = solver.solve_batch()
-    solve_s = time.time() - t0
+    for r in range(1, reps + 1):
+        prob_r = solver.prob._replace(c=solver.prob.c * (1.0 + 1e-4 * r))
+        final = solver.solve_batch(prob_r)
+    solve_s = (time.time() - t0) / reps
     statuses = [int(s) for s in final.status[: solver.n_real]]
     n_ok = sum(s == 1 for s in statuses)
     iters = [int(k) for k in final.k[: solver.n_real]]

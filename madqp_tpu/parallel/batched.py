@@ -175,9 +175,16 @@ class BatchedMPCSolver:
         else:
             self._solve = jax.jit(batched)
 
-    def solve_batch(self):
-        """Run all instances; returns the stacked final IPMState."""
-        final = self._solve(self.prob, self.x0, self.y0, self.lb, self.ub)
+    def solve_batch(self, prob=None):
+        """Run all instances; returns the stacked final IPMState.
+
+        `prob` optionally overrides the problem values (same shapes) — used
+        by benchmarks to defeat request-level caching in remote runtimes.
+        """
+        final = self._solve(
+            prob if prob is not None else self.prob,
+            self.x0, self.y0, self.lb, self.ub,
+        )
         jax.block_until_ready(final)
         return final
 

@@ -48,13 +48,14 @@ def _jitted_kernel(opts: IPMOptions):
     same configuration share jit traces — combined with shape bucketing
     (pad_mode) this makes ragged suites reuse compiled executables."""
     kernel = MPCKernel(opts)
-    return (
-        kernel,
-        jax.jit(kernel.solve_from),
-        jax.jit(kernel.iteration),
-        jax.jit(kernel.init_state),
-        jax.jit(kernel.solve_from_warm),
-    )
+    return {
+        "kernel": kernel,
+        "solve": jax.jit(kernel.solve_from),
+        "iter": jax.jit(kernel.iteration),
+        "init": jax.jit(kernel.init_state),
+        "warm_solve": jax.jit(kernel.solve_from_warm),
+        "warm_init": jax.jit(kernel.init_state_warm),
+    }
 
 
 class MPCSolver:
@@ -110,10 +111,18 @@ class MPCSolver:
         self._x0 = jnp.asarray(x0_int, dtype)
         self._y0 = jnp.asarray(y0_int, dtype)
 
-        (self.kernel, self._solve_jit, self._iter_jit, self._init_jit,
-         self._warm_jit) = _jitted_kernel(opts)
+        self._bind_kernel(opts)
         self._warm_point = None
         self.cnt = Counters(start_time=t0, init_time=time.time() - t0)
+
+    def _bind_kernel(self, opts):
+        fns = _jitted_kernel(opts)
+        self.kernel = fns["kernel"]
+        self._solve_jit = fns["solve"]
+        self._iter_jit = fns["iter"]
+        self._init_jit = fns["init"]
+        self._warm_solve_jit = fns["warm_solve"]
+        self._warm_init_jit = fns["warm_init"]
 
     # ------------------------------------------------------------------
 
@@ -127,8 +136,7 @@ class MPCSolver:
             if ignored:
                 self.logger.print_ignored_options(ignored)
             self.opts = opts
-            (self.kernel, self._solve_jit, self._iter_jit, self._init_jit,
-             self._warm_jit) = _jitted_kernel(opts)
+            self._bind_kernel(opts)
 
         cnt = self.cnt
         cnt.start_time = time.time()
@@ -153,14 +161,15 @@ class MPCSolver:
         )
         self._walltime_exceeded = False
         try:
-            if self.opts.warm_start and self._warm_point is not None:
+            warm = self._warm_point is not None
+            if use_python_loop:
+                final = self._run_python_loop()
+            elif warm:
                 x0, y0, zl0, zu0 = self._warm_point
-                final = self._warm_jit(
+                final = self._warm_solve_jit(
                     self.prob, x0, y0, zl0, zu0, self._lb0, self._ub0
                 )
                 jax.block_until_ready(final)
-            elif use_python_loop:
-                final = self._run_python_loop()
             else:
                 final = self._solve_jit(
                     self.prob, self._x0, self._y0, self._lb0, self._ub0
@@ -181,43 +190,56 @@ class MPCSolver:
         return self._build_stats(final, status)
 
     def set_initial_point(self, x=None, y=None, zl=None, zu=None):
-        """Supply a user-space warm-start point (enables opts.warm_start).
+        """Supply a user-space warm-start point for the next solve().
 
         Maps user coordinates into the internal (scaled, slack-augmented)
         space — the inverse of the stats recovery.  Missing pieces default
-        to the cold-start values / ones.
+        to the cold-start values / ones; slack bound duals derive from y.
+        Call clear_initial_point() to return to cold starts.
         """
         info = self.info
         dtype = jnp.dtype(self.opts.dtype)
         n, m = info.n, info.m
+        sign = 1.0 if info.minimize else -1.0
+        s_rows = info.ineq_rows
+        ns = len(s_rows)
 
         if x is not None:
             x = np.asarray(x, dtype=np.float64)
             x_kept = x[info.keep_idx]
-            s_rows = info.ineq_rows
-            s0 = info.con_scale[s_rows] * np.asarray(
-                self.qp.A[s_rows] @ x
-            ).ravel()
+            # Slack = con_scale * (A_kept @ x_kept): the fixed-variable
+            # columns are eliminated from the internal rows (their shift
+            # moved into b), so they must NOT contribute here.
+            A_keep = self.qp.A[s_rows][:, info.keep_idx] if ns else None
+            s0 = (
+                info.con_scale[s_rows] * np.asarray(A_keep @ x_kept).ravel()
+                if ns else np.zeros(0)
+            )
             x_int = np.concatenate([x_kept, s0])
         else:
             x_int = np.asarray(self._x0, dtype=np.float64)[:n]
         if y is not None:
             y = np.asarray(y, dtype=np.float64)
-            sign = 1.0 if info.minimize else -1.0
             y_int = sign * y * info.obj_scale / np.maximum(info.con_scale, 1e-300)
         else:
             y_int = np.asarray(self._y0, dtype=np.float64)[:m]
 
         def z_int(z_user):
-            if z_user is None:
-                return np.ones(n)
-            z_user = np.asarray(z_user, dtype=np.float64)
+            # Inverse of recover_z (models/qp.py): z_int = sign*obj_scale*z.
             out = np.ones(n)
-            out[: info.n_kept] = info.obj_scale * z_user[info.keep_idx]
+            if z_user is not None:
+                z_user = np.asarray(z_user, dtype=np.float64)
+                out[: info.n_kept] = sign * info.obj_scale * z_user[info.keep_idx]
             return out
 
         zl_int = z_int(zl)
         zu_int = z_int(zu)
+        if ns:
+            # Slack bound duals from dual feasibility of the slack column
+            # (-y_i - zl_s + zu_s = 0): zl_s = max(-y, 0), zu_s = max(y, 0).
+            ys = y_int[s_rows]
+            zl_int[info.n_kept:] = np.maximum(-ys, 0.0)
+            zu_int[info.n_kept:] = np.maximum(ys, 0.0)
 
         n_tot = self.prob.n  # may exceed info.n under pad_mode bucketing
         pad = lambda v, size, fill: np.concatenate(
@@ -229,9 +251,10 @@ class MPCSolver:
             jnp.asarray(pad(zl_int, n_tot, 1.0), dtype),
             jnp.asarray(pad(zu_int, n_tot, 1.0), dtype),
         )
-        self.opts = self.opts.replace(warm_start=True)
-        (self.kernel, self._solve_jit, self._iter_jit, self._init_jit,
-         self._warm_jit) = _jitted_kernel(self.opts)
+        return self
+
+    def clear_initial_point(self):
+        self._warm_point = None
         return self
 
     def _run_python_loop(self):
@@ -243,7 +266,15 @@ class MPCSolver:
         verbose = self.opts.print_level <= INFO
         scale = self.info.obj_scale
         deadline = time.time() + self.opts.max_wall_time
-        state = self._init_jit(self.prob, self._x0, self._y0, self._lb0, self._ub0)
+        if self._warm_point is not None:
+            x0, y0, zl0, zu0 = self._warm_point
+            state = self._warm_init_jit(
+                self.prob, x0, y0, zl0, zu0, self._lb0, self._ub0
+            )
+        else:
+            state = self._init_jit(
+                self.prob, self._x0, self._y0, self._lb0, self._ub0
+            )
         while int(state.status) == S.RUNNING:
             if time.time() > deadline:
                 self._walltime_exceeded = True

@@ -177,10 +177,8 @@ class IPMOptions:
     # recompilation): "bucket" pads the internal problem to power-of-two
     # shape buckets so instances share compiled executables.
     pad_mode: str = ""
-    # Warm starting (beyond the reference): skip the Mehrotra least-squares
-    # starting point and start from user-provided (x, y, zl, zu) pushed
-    # strictly inside bounds.  Use MPCSolver.set_initial_point().
-    warm_start: bool = False
+    # Warm starting is driver-level state, not an option: use
+    # MPCSolver.set_initial_point() / clear_initial_point().
 
     def replace(self, **kwargs) -> "IPMOptions":
         return dataclasses.replace(self, **kwargs)

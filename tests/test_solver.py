@@ -340,3 +340,48 @@ class TestWarmStart:
         warm = solver.solve()
         assert warm.status == Status.SOLVE_SUCCEEDED
         assert warm.objective == pytest.approx(cold.objective, abs=1e-6)
+
+    def test_warm_fixed_variables(self):
+        """Regression (review finding): slack mapping must exclude the
+        eliminated fixed-variable columns."""
+        qp = mq.dense_dummy_qp(12, 6, fixed_variables=(0, 1), seed=3)
+        cold = mq.solve(qp, **QUIET)
+        s = mq.MPCSolver(qp, **QUIET)
+        s.set_initial_point(x=cold.solution, y=cold.multipliers,
+                            zl=cold.multipliers_L, zu=cold.multipliers_U)
+        warm = s.solve()
+        assert warm.status == Status.SOLVE_SUCCEEDED
+        assert warm.iter <= 2
+        assert warm.objective == pytest.approx(cold.objective, abs=1e-6)
+
+    def test_warm_maximize_sign(self):
+        """Regression (review finding): z mapping must apply the objective
+        sense sign (inverse of recover_z)."""
+        import scipy.sparse as sp
+
+        qp = mq.QuadraticProblem(
+            c=np.array([1.0, 0.0]), H=sp.csr_matrix(-2.0 * np.eye(2)),
+            A=np.zeros((0, 2)), lcon=np.zeros(0), ucon=np.zeros(0),
+            lvar=np.zeros(2), uvar=np.ones(2), minimize=False,
+        )
+        cold = mq.solve(qp, **QUIET)
+        s = mq.MPCSolver(qp, **QUIET)
+        s.set_initial_point(x=cold.solution, y=cold.multipliers,
+                            zl=cold.multipliers_L, zu=cold.multipliers_U)
+        warm = s.solve()
+        assert warm.status == Status.SOLVE_SUCCEEDED
+        assert warm.iter <= 2
+
+    def test_warm_respects_walltime(self):
+        """Regression (review finding): the warm path must not bypass
+        host-stepped execution modes."""
+        qp = mq.dense_dummy_qp(25, 12, seed=8)
+        cold = mq.solve(qp, **QUIET)
+        s = mq.MPCSolver(qp, **QUIET)
+        s.set_initial_point(x=cold.solution, y=cold.multipliers,
+                            zl=cold.multipliers_L, zu=cold.multipliers_U)
+        out = s.solve(max_wall_time=1e-9)
+        assert out.status == Status.MAXIMUM_WALLTIME_EXCEEDED
+        s.clear_initial_point()
+        out2 = s.solve(max_wall_time=120.0)
+        assert out2.status == Status.SOLVE_SUCCEEDED
