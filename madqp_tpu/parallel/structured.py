@@ -434,7 +434,13 @@ def solve_two_stage(
 
     opts, _ = load_options(**options)
     opts = opts.replace(kkt_system="schur")
-    kernel = MPCKernel(opts)
+    if mesh is None:
+        # Share traces/executables across calls (same options+shapes).
+        from ..solver.driver import _jitted_kernel
+
+        solve_jit = _jitted_kernel(opts)["solve"]
+    else:
+        kernel = MPCKernel(opts)
 
     dtype = jnp.dtype(opts.dtype)
     x0 = jnp.zeros(prob.n, dtype)
@@ -463,7 +469,10 @@ def solve_two_stage(
         _mod._SCEN_SHARDING = NamedSharding(mesh, P(scen_axis))
 
     try:
-        solve = jax.jit(kernel.solve_from)
+        if mesh is None:
+            solve = solve_jit
+        else:
+            solve = jax.jit(kernel.solve_from)
         t0 = time.time()
         final = jax.block_until_ready(solve(prob, x0, y0, lb, ub))
         wall = time.time() - t0

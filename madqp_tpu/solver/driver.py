@@ -9,8 +9,6 @@ summary print and stats object.
 from __future__ import annotations
 
 import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,7 +23,7 @@ from ..utils import (
     get_status_output,
     load_options,
 )
-from ..utils.logger import DEBUG, ERROR, INFO, NOTICE
+from ..utils.logger import INFO
 from ..utils.options import IPMOptions, KKTSystem
 from . import state as S
 from .mpc import MPCKernel

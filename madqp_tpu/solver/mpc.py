@@ -14,8 +14,6 @@ kernel vmaps over batched problem pytrees and shards over a device mesh
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax
