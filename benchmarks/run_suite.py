@@ -93,6 +93,9 @@ def main():
                          "native-LDL CPU path (large instances)")
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 factorization + f64 refinement (device path)")
+    ap.add_argument("--batched", action="store_true",
+                    help="solve the whole suite as ONE vmapped batch "
+                         "(single compile, lockstep iterations)")
     ap.add_argument("--out", default="")
     ap.add_argument("--exclude", default="", help="comma-separated instance names")
     args = ap.parse_args()
@@ -137,10 +140,30 @@ def main():
         ]
 
     results = []
-    for nm, qp in instances:
-        rec = run_instance(nm, qp, options)
-        results.append(rec)
-        print(json.dumps(rec), flush=True)
+    if args.batched and instances:
+        from madqp_tpu.parallel import solve_batched
+
+        solve_opts = {k: v for k, v in options.items()
+                      if k not in ("backend", "pad_mode")}
+        t0 = time.time()
+        stats = solve_batched([qp for _, qp in instances], **solve_opts)
+        total = time.time() - t0
+        for (nm, qp), st in zip(instances, stats):
+            rec = {
+                "name": nm, "nvar": qp.nvar, "ncon": qp.ncon,
+                "nnzj": qp.nnzj, "nnzh": qp.nnzh,
+                "status": int(st.status == mq.Status.SOLVE_SUCCEEDED),
+                "iter": st.iter, "objective": st.objective,
+                "total_time": total,  # shared batch wall time
+                "linear_solver_time": -1.0,
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+    else:
+        for nm, qp in instances:
+            rec = run_instance(nm, qp, options)
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
 
     if args.out:
         with open(args.out, "w") as f:

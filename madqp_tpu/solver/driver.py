@@ -144,6 +144,18 @@ class MPCSolver:
             f"({self.opts.linear_solver} backend, dtype={self.opts.dtype}, "
             f"factorization={fact})\n"
         )
+        # Problem-statistics banner (reference print_init analog).
+        info = self.info
+        nlb = int(np.sum(self.std.has_lb))
+        nub = int(np.sum(self.std.has_ub))
+        self.logger.notice(
+            f"Number of variables ............................: {info.nvar}\n"
+            f"Number of constraints ..........................: {info.ncon}\n"
+            f"Number of nonzeros in constraint Jacobian ......: {self.qp.nnzj}\n"
+            f"Number of nonzeros in Lagrangian Hessian .......: {self.qp.nnzh}\n"
+            f"Internal variables (incl. slacks / padding) ....: {self.std.n}\n"
+            f"Variables with lower / upper bounds ............: {nlb} / {nub}\n"
+        )
         status = Status.INTERNAL_ERROR
         final = None
         # Per-iteration logging requires host-driven stepping: host callbacks
