@@ -50,6 +50,7 @@ def _load() -> ctypes.CDLL:
     lib.madqp_postorder.argtypes = [ctypes.c_int, _i32p, _i32p]
     lib.madqp_col_counts.argtypes = [ctypes.c_int, _i64p, _i32p, _i32p, _i32p]
     lib.madqp_amd_order.argtypes = [ctypes.c_int, _i64p, _i32p, _i32p]
+    lib.madqp_amd_elem_order.argtypes = [ctypes.c_int, _i64p, _i32p, _i32p]
     lib.madqp_ldl_symbolic.argtypes = [ctypes.c_int, _i32p, _i64p]
     lib.madqp_ldl_numeric.argtypes = [
         ctypes.c_int, _i64p, _i32p, _f64p, _i32p, _i64p, _i32p, _f64p,
@@ -115,19 +116,22 @@ def col_counts(A: sp.spmatrix, parent: Optional[np.ndarray] = None) -> np.ndarra
     return counts
 
 
-def amd_order(A: sp.spmatrix) -> np.ndarray:
-    """Fill-reducing minimum-degree permutation (perm[k] = original index)."""
+def amd_order(A: sp.spmatrix, variant: str = "elem") -> np.ndarray:
+    """Fill-reducing minimum-degree permutation (perm[k] = original index).
+
+    variant='elem' (default): quotient-graph approximate minimum degree —
+    O(nnz) memory, scales to large n.  variant='clique': the explicit
+    clique-merge variant (exact degrees, small n only)."""
     lib = _load()
     S = (abs(A) + abs(A).T).tocsc().sorted_indices()
     n = S.shape[0]
     perm = np.empty(n, np.int32)
-    lib.madqp_amd_order(
-        n, S.indptr.astype(np.int64), S.indices.astype(np.int32), perm
-    )
+    fn = lib.madqp_amd_elem_order if variant == "elem" else lib.madqp_amd_order
+    fn(n, S.indptr.astype(np.int64), S.indices.astype(np.int32), perm)
     return perm
 
 
-_AMD_SIZE_LIMIT = 3000  # naive MD is O(n * clique); above this use RCM
+_AMD_SIZE_LIMIT = 200_000  # element-based AMD is O(nnz)-memory; cap anyway
 
 
 def ordering(A: sp.spmatrix, method: str = "auto") -> np.ndarray:

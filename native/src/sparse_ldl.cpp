@@ -184,6 +184,116 @@ void madqp_amd_order(int n, const int64_t* Ap, const int32_t* Ai,
 }
 
 // ---------------------------------------------------------------------------
+// Element-based approximate minimum degree (quotient-graph style).
+//
+// Unlike madqp_amd_order above (explicit clique merging, O(fill) memory and
+// time — fine below ~3k), this maintains the quotient graph: eliminating a
+// pivot creates an *element* whose member list represents the clique
+// implicitly; neighbor degrees use AMD's upper-bound estimate
+// |adj_var| + sum |Le|.  Memory stays O(nnz) and per-pivot work is
+// proportional to the affected lists.  perm[k] = original index of pivot k.
+// ---------------------------------------------------------------------------
+void madqp_amd_elem_order(int n, const int64_t* Ap, const int32_t* Ai,
+                          int32_t* perm) {
+  std::vector<std::vector<int32_t>> adj(n);       // variable-variable edges
+  std::vector<std::vector<int32_t>> elems_of(n);  // element ids touching var
+  std::vector<std::vector<int32_t>> members;      // element id -> member vars
+  members.reserve(n);
+  for (int j = 0; j < n; ++j) {
+    adj[j].reserve(Ap[j + 1] - Ap[j]);
+    for (int64_t p = Ap[j]; p < Ap[j + 1]; ++p) {
+      int i = Ai[p];
+      if (i != j) adj[j].push_back(i);
+    }
+    std::sort(adj[j].begin(), adj[j].end());
+    adj[j].erase(std::unique(adj[j].begin(), adj[j].end()), adj[j].end());
+  }
+  std::vector<char> eliminated(n, 0);
+  std::vector<char> dead_elem;  // element absorbed?
+  std::vector<int64_t> approx_deg(n);
+  for (int j = 0; j < n; ++j) approx_deg[j] = (int64_t)adj[j].size();
+
+  // bucket queue over clamped degree
+  auto clampd = [&](int64_t d) { return (int32_t)std::min<int64_t>(d, n); };
+  std::vector<std::vector<int32_t>> bucket(n + 1);
+  for (int j = 0; j < n; ++j) bucket[clampd(approx_deg[j])].push_back(j);
+  int mindeg = 0;
+
+  std::vector<int32_t> stamp(n, -1);
+  std::vector<int32_t> Lv;  // scratch: members of the new element
+  Lv.reserve(64);
+
+  for (int k = 0; k < n; ++k) {
+    // pop the minimum-degree live variable (lazy deletion)
+    int v = -1;
+    while (v == -1) {
+      while (mindeg <= n && bucket[mindeg].empty()) ++mindeg;
+      auto& b = bucket[mindeg];
+      int cand = b.back();
+      b.pop_back();
+      if (!eliminated[cand] && clampd(approx_deg[cand]) == mindeg) v = cand;
+    }
+    perm[k] = v;
+    eliminated[v] = 1;
+
+    // Lv = (adj[v] ∪ union of member lists of v's elements) \ eliminated
+    Lv.clear();
+    int tag = k;
+    stamp[v] = tag;
+    for (int u : adj[v]) {
+      if (!eliminated[u] && stamp[u] != tag) {
+        stamp[u] = tag;
+        Lv.push_back(u);
+      }
+    }
+    for (int e : elems_of[v]) {
+      if (dead_elem[e]) continue;
+      for (int u : members[e]) {
+        if (!eliminated[u] && stamp[u] != tag) {
+          stamp[u] = tag;
+          Lv.push_back(u);
+        }
+      }
+      dead_elem[e] = 1;  // absorbed into the new element
+    }
+    adj[v].clear();
+    adj[v].shrink_to_fit();
+    elems_of[v].clear();
+
+    if (Lv.empty()) continue;
+    int e_new = (int)members.size();
+    members.push_back(Lv);
+    dead_elem.push_back(0);
+
+    for (int u : Lv) {
+      // prune variable edges now covered by the element (incl. v) and dead
+      auto& au = adj[u];
+      size_t w = 0;
+      for (size_t r = 0; r < au.size(); ++r) {
+        int x = au[r];
+        if (eliminated[x] || stamp[x] == tag) continue;  // covered/eliminated
+        au[w++] = x;
+      }
+      au.resize(w);
+      // drop absorbed elements, add the new one
+      auto& eu = elems_of[u];
+      size_t w2 = 0;
+      for (size_t r = 0; r < eu.size(); ++r)
+        if (!dead_elem[eu[r]]) eu[w2++] = eu[r];
+      eu.resize(w2);
+      eu.push_back(e_new);
+      // AMD-style degree upper bound
+      int64_t d = (int64_t)au.size();
+      for (int e : eu) d += (int64_t)members[e].size() - 1;
+      approx_deg[u] = d;
+      int32_t cd = clampd(d);
+      bucket[cd].push_back(u);
+      if (cd < mindeg) mindeg = cd;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Symbolic LDL: given upper-CSC pattern + etree + column counts, build the
 // column pointers Lp (size n+1).  The row patterns are produced during the
 // numeric factorization (up-looking, identical every call).

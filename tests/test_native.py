@@ -59,6 +59,19 @@ class TestSymbolic:
         f_nat = SparseLDL(A, use_amd=False)
         assert f_amd.nnz_factor <= f_nat.nnz_factor
 
+    def test_amd_variants_are_permutations(self, rng):
+        A = spd_matrix(rng, n=150, density=0.03)
+        for variant in ["elem", "clique"]:
+            perm = amd_order(A, variant)
+            assert sorted(perm) == list(range(150))
+        # element variant must produce a usable factorization
+        f = SparseLDL(A, order="amd")
+        assert f.factorize(A)
+        b = np.ones(150)
+        np.testing.assert_allclose(
+            f.solve(b), np.linalg.solve(A.toarray(), b), rtol=1e-8, atol=1e-9
+        )
+
     def test_orderings_are_permutations(self, rng):
         A = spd_matrix(rng, n=80)
         for method in ["amd", "rcm", "natural", "auto"]:
