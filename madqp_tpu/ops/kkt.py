@@ -48,6 +48,8 @@ class CondensedFactors(NamedTuple):
     chol_S: jax.Array             # (m, m) lower Cholesky of scaled Schur compl.
     s_scale: jax.Array            # (m,) Jacobi scale of S
     A: jax.Array                  # (m, n) kept for the solve
+    W_inv: Optional[jax.Array] = None  # explicit scaled inverses (solve_mode
+    S_inv: Optional[jax.Array] = None  # 'inverse': backsolves become matvecs)
 
 
 class DenseCondensedKKT:
@@ -66,14 +68,27 @@ class DenseCondensedKKT:
 
     name = "condensed"
 
-    def __init__(self, fact_dtype=None, chol_backend: str = "xla"):
+    def __init__(self, fact_dtype=None, chol_backend: str = "xla",
+                 solve_mode: str = "chol"):
         self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
+        self.solve_mode = solve_mode
         if chol_backend == "pallas":
             from .pallas_chol import select_cholesky
 
             self._chol = select_cholesky("pallas")
         else:
             self._chol = lambda M: jsl.cholesky(M, lower=True)
+
+    def _explicit_inverse(self, chol, scale):
+        """Unscaled explicit inverse through the scaled factorization:
+        M^-1 = D Ms^-1 D with D = diag(scale).  Triangular solves against the
+        identity are one-time per factorization; afterwards every backsolve
+        is a single matvec on the MXU (vector triangular solves on TPU are
+        latency-bound sequential scans)."""
+        n = chol.shape[0]
+        eye = jnp.eye(n, dtype=chol.dtype)
+        Ms_inv = jsl.cho_solve((chol, True), eye)
+        return (scale[:, None] * Ms_inv.astype(scale.dtype)) * scale[None, :]
 
     def _chol_scaled(self, M):
         """Jacobi-scale M to unit diagonal, factorize (optionally in
@@ -108,15 +123,29 @@ class DenseCondensedKKT:
         S = A @ Winv_AT
         S = S - del_c * jnp.eye(m, dtype=A.dtype)
         chol_S, s_scale = self._chol_scaled(S)
+        W_inv = S_inv = None
+        if self.solve_mode == "inverse":
+            if chol_W is not None:
+                W_inv = self._explicit_inverse(chol_W, w_scale)
+            if m > 0:
+                S_inv = self._explicit_inverse(chol_S, s_scale)
         return CondensedFactors(
             chol_W=chol_W, w_scale=w_scale, w_diag=pr_diag,
             chol_S=chol_S, s_scale=s_scale, A=A,
+            W_inv=W_inv, S_inv=S_inv,
         )
 
     def _W_solve(self, f: CondensedFactors, r):
         if f.chol_W is None:
             return r / f.w_diag
+        if f.W_inv is not None:
+            return f.W_inv @ r
         return self._chol_apply(f.chol_W, f.w_scale, r, r.dtype)
+
+    def _S_solve(self, f: CondensedFactors, r):
+        if f.S_inv is not None:
+            return f.S_inv @ r
+        return self._chol_apply(f.chol_S, f.s_scale, r, r.dtype)
 
     def solve(self, f: CondensedFactors, rx, ry):
         m = f.A.shape[0]
@@ -124,7 +153,7 @@ class DenseCondensedKKT:
             return self._W_solve(f, rx), ry
         # (A W^-1 A' - dc I) dy = A W^-1 rx - ry
         rhs_y = f.A @ self._W_solve(f, rx) - ry
-        dy = self._chol_apply(f.chol_S, f.s_scale, rhs_y, ry.dtype)
+        dy = self._S_solve(f, rhs_y)
         dx = self._W_solve(f, rx - f.A.T @ dy)
         return dx, dy
 
@@ -282,7 +311,8 @@ _KKT_REGISTRY = {
 }
 
 
-def make_kkt(name: str, fact_dtype=None, chol_backend: str = "xla"):
+def make_kkt(name: str, fact_dtype=None, chol_backend: str = "xla",
+             solve_mode: str = "chol"):
     if name == "schur":
         # Registered lazily to avoid a circular import; SchurKKT pairs with
         # parallel.structured.TwoStageProblem only.
@@ -296,4 +326,8 @@ def make_kkt(name: str, fact_dtype=None, chol_backend: str = "xla"):
             f"unknown kkt_system '{name}'; options: "
             f"{sorted(_KKT_REGISTRY) + ['schur']}"
         )
-    return cls(fact_dtype=fact_dtype, chol_backend=chol_backend)
+    try:
+        return cls(fact_dtype=fact_dtype, chol_backend=chol_backend,
+                   solve_mode=solve_mode)
+    except TypeError:
+        return cls(fact_dtype=fact_dtype, chol_backend=chol_backend)

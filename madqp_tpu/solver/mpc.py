@@ -61,6 +61,7 @@ class MPCKernel:
         self.kkt = make_kkt(
             opts.kkt_system, fact_dtype=fact_dtype,
             chol_backend="pallas" if opts.linear_solver == "pallas" else "xla",
+            solve_mode=opts.solve_mode,
         )
         self.dtype = jnp.dtype(opts.dtype)
         self.eps = float(jnp.finfo(self.dtype).eps)

@@ -66,3 +66,14 @@ class TestCrossPathConsistency:
             )
             assert mixed.status == Status.SOLVE_SUCCEEDED
             assert mixed.objective == pytest.approx(full.objective, abs=1e-6)
+
+
+def test_inverse_solve_mode_agrees():
+    """solve_mode='inverse' (explicit inverses, matvec backsolves) must
+    reproduce the default path."""
+    qp = mq.random_qp(40, 16, seed=7)
+    a = mq.solve(qp, **QUIET)
+    b = mq.solve(qp, solve_mode="inverse", max_refine_steps=1, **QUIET)
+    assert b.status == Status.SOLVE_SUCCEEDED
+    assert b.iter == a.iter
+    assert b.objective == pytest.approx(a.objective, abs=1e-8)
