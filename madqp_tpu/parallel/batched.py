@@ -196,7 +196,14 @@ class BatchedMPCSolver:
         final = self.solve_batch()
         wall = time.time() - t0
         # Pull the (possibly sharded) final state to host before unpacking.
-        final = jax.device_get(final)
+        if jax.process_count() > 1:
+            # Global arrays span non-addressable devices: allgather them so
+            # every process can unpack all instances.
+            from jax.experimental import multihost_utils
+
+            final = multihost_utils.process_allgather(final, tiled=True)
+        else:
+            final = jax.device_get(final)
         out = []
         for i in range(self.n_real):
             info = self.infos[i]

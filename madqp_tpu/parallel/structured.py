@@ -476,7 +476,11 @@ def solve_two_stage(
         t0 = time.time()
         final = jax.block_until_ready(solve(prob, x0, y0, lb, ub))
         wall = time.time() - t0
-        cons = np.asarray(jax.jit(prob.jac_mv)(final.x))
+        # NB: pass prob as an argument — a bound method would close over
+        # sharded arrays, which is illegal in multi-process meshes.
+        cons = np.asarray(
+            jax.jit(lambda pr, x: pr.jac_mv(x))(prob, final.x)
+        )
     finally:
         _mod._REPLICATE_FN = prev_repl
         _mod._REPLICATE_SHARDING = None
