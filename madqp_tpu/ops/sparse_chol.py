@@ -1,0 +1,265 @@
+"""Supernodal multifrontal sparse Cholesky on device (SPARSE_PLAN S1+S2).
+
+The on-device answer to SURVEY §7.3 hard part #1 ("sparse symmetric
+factorization on TPU — nothing exists off-the-shelf").  Strategy:
+
+  * host symbolic (once per pattern): fill-reducing ordering + elimination
+    tree + exact factor structure (via the native C++ layer), fundamental
+    supernode partition, and *static index maps* for every front — the
+    A-scatter map and the child extend-add maps;
+  * device numeric (every IPM iteration): a traced Python loop over
+    supernodes in postorder; each front is a DENSE (r, r) matrix — assemble
+    (scatter-add), extend-add children, factor the leading (w, w) block
+    (Cholesky), panel triangular solve, Schur-complement update.  All
+    shapes static; all irregularity lives in precomputed gather indices.
+
+This is the prototype (unrolled trace, one front at a time).  The
+production step (SPARSE_PLAN S3) buckets same-shape fronts per elimination
+level and vmaps them — the numeric code below is already structured
+per-front to make that swap mechanical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+
+@dataclasses.dataclass
+class Supernode:
+    cols: np.ndarray        # global (permuted) column indices, width w
+    rows: np.ndarray        # full row structure incl. diagonal block, size r
+    parent: int             # parent supernode id or -1
+    # Assembly: scatter of A's upper-triangle entries into the (r, r) front.
+    a_src: np.ndarray       # indices into the permuted upper-CSC value array
+    a_dst: np.ndarray       # flat positions into the front (r*r)
+    # Extend-add: for each child, positions of its update matrix in this front.
+    child_ids: List[int]
+    child_dst: List[np.ndarray]  # flat positions (uc*uc entries each)
+
+
+@dataclasses.dataclass
+class SupernodalSymbolic:
+    n: int
+    perm: np.ndarray
+    iperm: np.ndarray
+    supernodes: List[Supernode]
+    Up: np.ndarray          # permuted upper-CSC structure (for value refill)
+    Ui: np.ndarray
+    max_width: int
+
+    def permute_values(self, A: sp.spmatrix) -> np.ndarray:
+        """Upper-triangle value array of P A P' in the stored CSC order."""
+        Ap = sp.csc_matrix(A)[self.perm][:, self.perm]
+        U = sp.triu(Ap.tocsr(), k=0, format="csc").sorted_indices()
+        return np.asarray(U.data, dtype=np.float64)
+
+
+def analyze(A: sp.spmatrix, order: str = "auto",
+            max_supernode: int = 128) -> SupernodalSymbolic:
+    """Host symbolic analysis of the SPD pattern of A."""
+    from ..native import SparseLDL, etree as _etree, ordering, postorder
+
+    A = sp.csc_matrix(A)
+    n = A.shape[0]
+    perm0 = ordering(A, order)
+    # Postorder the elimination tree so supernode columns are contiguous
+    # and children precede parents (multifrontal traversal requirement).
+    Aperm0 = A[perm0][:, perm0].tocsc()
+    parent0 = _etree(Aperm0)
+    post = postorder(parent0)
+    perm = np.asarray(perm0)[post]
+
+    # Exact factor structure from the native symbolic+numeric machinery
+    # (numeric on a made-SPD proxy materializes Li in final order).
+    Aperm = A[perm][:, perm].tocsc()
+    proxy = Aperm.copy()
+    proxy = (abs(proxy) + abs(proxy).T).tocsc()
+    proxy = proxy + (abs(proxy).sum(axis=1).A1.max() + 1.0) * sp.eye(n)
+    fs = SparseLDL(proxy, use_amd=False)
+    ok = fs.factorize(proxy)
+    assert ok, "symbolic proxy factorization failed"
+    Lp, Li, Lnz = fs.Lp, fs.Li, fs.Lnz
+
+    # column structures (strictly lower) of L
+    col_rows = [np.sort(Li[Lp[j]: Lp[j] + Lnz[j]]) for j in range(n)]
+
+    # Fundamental supernodes: col j joins j-1's snode iff
+    # struct(j) == struct(j-1) \ {j} and widths stay under max_supernode.
+    sn_start = [0]
+    for j in range(1, n):
+        prev = col_rows[j - 1]
+        cur = col_rows[j]
+        fundamental = (
+            prev.size == cur.size + 1
+            and prev.size > 0
+            and prev[0] == j
+            and np.array_equal(prev[1:], cur)
+        )
+        if not fundamental or (j - sn_start[-1]) >= max_supernode:
+            sn_start.append(j)
+    sn_start.append(n)
+
+    U = sp.triu(Aperm.tocsr(), k=0, format="csc").sorted_indices()
+    Up = U.indptr.astype(np.int64)
+    Ui = U.indices.astype(np.int32)
+
+    # map column -> supernode id
+    col_sn = np.empty(n, np.int32)
+    snodes: List[Supernode] = []
+    for s in range(len(sn_start) - 1):
+        j0, j1 = sn_start[s], sn_start[s + 1]
+        col_sn[j0:j1] = s
+        cols = np.arange(j0, j1)
+        # Rows strictly below the supernode = structure of its LAST column
+        # (the first column's structure still contains the later snode cols).
+        below = col_rows[j1 - 1]
+        rows = np.concatenate([cols, below]).astype(np.int64)
+        snodes.append(Supernode(cols=cols, rows=rows, parent=-1,
+                                a_src=None, a_dst=None,
+                                child_ids=[], child_dst=[]))
+
+    # parents: first row below the supernode determines the parent snode
+    for s, sn in enumerate(snodes):
+        w = sn.cols.size
+        if sn.rows.size > w:
+            sn.parent = int(col_sn[sn.rows[w]])
+            snodes[sn.parent].child_ids.append(s)
+
+    # A-assembly maps.  An upper entry (i, j), i <= j, is the lower entry
+    # (j, i) of column i, so it is assembled in the front of snode(i) at
+    # local position (loc[j], loc[i]) — j is guaranteed to be in that
+    # front's row structure (A's column pattern is a subset of L's).
+    locs = [
+        {int(g): k for k, g in enumerate(sn.rows)} for sn in snodes
+    ]
+    src_lists: List[List[int]] = [[] for _ in snodes]
+    dst_lists: List[List[int]] = [[] for _ in snodes]
+    for j in range(n):
+        for p in range(Up[j], Up[j + 1]):
+            i = int(Ui[p])  # i <= j
+            s = int(col_sn[i])
+            loc = locs[s]
+            r = snodes[s].rows.size
+            a, b = loc[j], loc[i]
+            if a < b:
+                a, b = b, a
+            src_lists[s].append(p)
+            dst_lists[s].append(a * r + b)
+    for s, sn in enumerate(snodes):
+        sn.a_src = np.asarray(src_lists[s], np.int64)
+        sn.a_dst = np.asarray(dst_lists[s], np.int64)
+
+    # extend-add maps: child update rows = child.rows[wc:] — all appear in
+    # the parent's row set (by the etree property, possibly spread).
+    for s, sn in enumerate(snodes):
+        loc = {int(g): k for k, g in enumerate(sn.rows)}
+        for c in sn.child_ids:
+            ch = snodes[c]
+            urows = ch.rows[ch.cols.size:]
+            # positions of each (i, j) pair of the child's update (uc x uc,
+            # lower triangle mirrored like above)
+            uc = urows.size
+            lidx = np.asarray([loc[int(g)] for g in urows], np.int64)
+            grid_a = np.repeat(lidx, uc)
+            grid_b = np.tile(lidx, uc)
+            a = np.maximum(grid_a, grid_b)
+            b = np.minimum(grid_a, grid_b)
+            r = sn.rows.size
+            sn.child_dst.append(a * r + b)
+
+    iperm = np.empty(n, np.int64)
+    iperm[perm] = np.arange(n)
+    return SupernodalSymbolic(
+        n=n, perm=np.asarray(perm, np.int64), iperm=iperm,
+        supernodes=snodes, Up=Up, Ui=Ui,
+        max_width=max(sn.cols.size for sn in snodes),
+    )
+
+
+def factorize(symb: SupernodalSymbolic, a_values):
+    """Device numeric factorization: returns the list of L panels (r, w)
+    per supernode (a pytree — jit/vmap friendly).
+
+    Each front F (r, r) uses only its lower triangle; the update matrix
+    passed to the parent is the trailing (r-w, r-w) Schur complement.
+    """
+    panels = [None] * len(symb.supernodes)
+    updates = [None] * len(symb.supernodes)
+    for s, sn in enumerate(symb.supernodes):  # postorder by construction
+        r = sn.rows.size
+        w = sn.cols.size
+        F = jnp.zeros((r * r,), a_values.dtype)
+        F = F.at[sn.a_dst].add(a_values[sn.a_src])
+        for c, dst in zip(sn.child_ids, sn.child_dst):
+            # Only the lower triangle: the mirrored position map would
+            # double-count symmetric off-diagonal pairs otherwise.
+            F = F.at[dst].add(jnp.tril(updates[c]).reshape(-1))
+            updates[c] = None
+        F = F.reshape(r, r)
+        # symmetrize the lower-stored front
+        F = jnp.tril(F) + jnp.tril(F, -1).T
+        F11 = F[:w, :w]
+        L11 = jsl.cholesky(F11, lower=True)
+        if r > w:
+            L21 = jsl.solve_triangular(L11, F[w:, :w].T, lower=True).T
+            U = F[w:, w:] - L21 @ L21.T
+            updates[s] = U
+            panels[s] = jnp.concatenate([L11, L21], axis=0)
+        else:
+            updates[s] = jnp.zeros((0, 0), a_values.dtype)
+            panels[s] = L11
+    return panels
+
+
+def solve(symb: SupernodalSymbolic, panels, b):
+    """Solve A x = b given the supernodal factor panels."""
+    x = jnp.asarray(b)[symb.perm]
+    # forward: L y = b
+    for s, sn in enumerate(symb.supernodes):
+        w = sn.cols.size
+        P = panels[s]
+        xj = jsl.solve_triangular(P[:w, :], x[sn.cols], lower=True)
+        x = x.at[sn.cols].set(xj)
+        if sn.rows.size > w:
+            x = x.at[sn.rows[w:]].add(-(P[w:, :] @ xj))
+    # backward: L' x = y
+    for s in range(len(symb.supernodes) - 1, -1, -1):
+        sn = symb.supernodes[s]
+        w = sn.cols.size
+        P = panels[s]
+        rhs = x[sn.cols]
+        if sn.rows.size > w:
+            rhs = rhs - P[w:, :].T @ x[sn.rows[w:]]
+        x = x.at[sn.cols].set(
+            jsl.solve_triangular(P[:w, :].T, rhs, lower=False)
+        )
+    return x[symb.iperm]
+
+
+class DeviceSparseCholesky:
+    """Convenience wrapper: analyze once, refactorize values per iteration."""
+
+    def __init__(self, A: sp.spmatrix, order: str = "auto",
+                 max_supernode: int = 128):
+        self.symb = analyze(A, order=order, max_supernode=max_supernode)
+        self._factorize = jax.jit(lambda v: factorize(self.symb, v))
+
+    def factorize(self, A: sp.spmatrix):
+        vals = jnp.asarray(self.symb.permute_values(A))
+        self.panels = self._factorize(vals)
+        return self
+
+    def solve(self, b):
+        return solve(self.symb, self.panels, b)
+
+    @property
+    def n_supernodes(self) -> int:
+        return len(self.symb.supernodes)

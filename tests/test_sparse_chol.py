@@ -1,0 +1,77 @@
+"""Supernodal multifrontal sparse Cholesky tests (SPARSE_PLAN S1+S2)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from madqp_tpu.native import available
+from madqp_tpu.ops.sparse_chol import DeviceSparseCholesky, analyze
+
+pytestmark = pytest.mark.skipif(
+    not available(), reason="native library unavailable"
+)
+
+
+def random_spd(n, density, seed=3):
+    M = sp.random(n, n, density=density, random_state=seed)
+    return (M @ M.T + 10 * sp.eye(n)).tocsc()
+
+
+def banded_spd(n, bw=4):
+    diags = [np.full(n - k, 1.0 / (1 + k)) for k in range(bw)]
+    B = sp.diags(diags, list(range(bw)), shape=(n, n))
+    S = B + B.T
+    return (S + (abs(S).sum(axis=1).A1.max() + 1) * sp.eye(n)).tocsc()
+
+
+class TestAnalyze:
+    def test_supernode_partition_covers_columns(self, rng):
+        A = random_spd(80, 0.05)
+        symb = analyze(A)
+        cols = np.concatenate([sn.cols for sn in symb.supernodes])
+        assert sorted(cols.tolist()) == list(range(80))
+
+    def test_tree_is_topologically_ordered(self, rng):
+        A = random_spd(80, 0.05)
+        symb = analyze(A)
+        for s, sn in enumerate(symb.supernodes):
+            assert sn.parent == -1 or sn.parent > s
+            for c in sn.child_ids:
+                assert c < s
+
+
+class TestNumeric:
+    @pytest.mark.parametrize("make,kw", [
+        (random_spd, dict(n=60, density=0.08)),
+        (random_spd, dict(n=200, density=0.03)),
+        (banded_spd, dict(n=300)),
+    ], ids=["rand60", "rand200", "banded300"])
+    def test_solve_residual(self, make, kw, rng):
+        A = make(**kw)
+        n = A.shape[0]
+        f = DeviceSparseCholesky(A)
+        f.factorize(A)
+        b = rng.standard_normal(n)
+        x = np.asarray(f.solve(b))
+        assert np.max(np.abs(A @ x - b)) < 1e-10
+
+    def test_refactorize_same_pattern(self, rng):
+        """The IPM use case: one symbolic analysis, new values per iteration."""
+        A = random_spd(100, 0.04)
+        f = DeviceSparseCholesky(A)
+        b = rng.standard_normal(100)
+        for scale in [1.0, 3.0, 0.25]:
+            A2 = (A * scale).tocsc()
+            f.factorize(A2)
+            x = np.asarray(f.solve(b))
+            assert np.max(np.abs(A2 @ x - b)) < 1e-9
+
+    def test_matches_dense_cholesky_solve(self, rng):
+        A = random_spd(90, 0.05)
+        f = DeviceSparseCholesky(A)
+        f.factorize(A)
+        b = rng.standard_normal(90)
+        x = np.asarray(f.solve(b))
+        np.testing.assert_allclose(
+            x, np.linalg.solve(A.toarray(), b), rtol=1e-9, atol=1e-10
+        )
