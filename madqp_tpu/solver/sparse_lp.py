@@ -1,0 +1,254 @@
+"""Fully on-device sparse LP path: COO matvecs + supernodal normal equations.
+
+Completes the reference's NormalKKTSystem story on TPU (SURVEY §2.3 #4 and
+§7.3 hard part #1): the LP's Jacobian stays sparse on device (COO +
+segment-sum matvecs), the normal matrix S = A D A' is assembled on device
+from host-precomputed contribution index lists (the jittable equivalent of
+the reference's assemble_normal_system!, src/utils.jl:266-298), and the
+factorization is the supernodal multifrontal Cholesky (ops/sparse_chol).
+
+Everything shape-dependent happens once at construction (the reference's
+build-once/refactor-every-iteration split); the per-iteration work is pure
+gather/segment-sum/dense-front compute.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from ..models.qp import QuadraticProblem, build_standard_form_sparse
+from ..ops import sparse_chol as SC
+
+
+class SparseLPProblem(NamedTuple):
+    """LP problem data with a device-resident COO Jacobian.
+
+    Satisfies the same protocol as ProblemArrays (MPCKernel plugs in
+    unchanged); `H` is absent — LP only.
+    """
+
+    c0: jax.Array
+    c: jax.Array
+    b: jax.Array
+    has_lb: jax.Array
+    has_ub: jax.Array
+    a_rows: jax.Array   # (nnz,) int32
+    a_cols: jax.Array   # (nnz,) int32
+    a_vals: jax.Array   # (nnz,)
+
+    @property
+    def n(self) -> int:
+        return self.c.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.b.shape[0]
+
+    @property
+    def is_lp(self) -> bool:
+        return True
+
+    @property
+    def H(self):  # for the NormalKKT LP check
+        return None
+
+    def hess_mv(self, x):
+        return jnp.zeros_like(x)
+
+    def jac_mv(self, x):
+        return jax.ops.segment_sum(
+            self.a_vals * x[self.a_cols], self.a_rows, num_segments=self.m
+        )
+
+    def jac_rmv(self, y):
+        return jax.ops.segment_sum(
+            self.a_vals * y[self.a_rows], self.a_cols, num_segments=self.n
+        )
+
+
+class DeviceSparseNormalKKT:
+    """Normal-equations KKT with on-device sparse assembly + supernodal
+    Cholesky.  LP only (reference normalkkt.jl:45-48)."""
+
+    name = "sparse-normal(device)"
+
+    def __init__(self, A: sp.spmatrix, order: str = "auto",
+                 max_supernode: int = 128):
+        A = sp.csc_matrix(A)
+        A.sum_duplicates()
+        A = A.sorted_indices()
+        m, n = A.shape
+        self.m, self.n = m, n
+        # Canonical nonzero ordering: the pair_p/pair_q contribution indices
+        # below address A's CSC data array.  Callers MUST build the problem's
+        # (a_rows, a_cols, a_vals) from these three arrays so the orderings
+        # agree (std.A is CSR — its COO data order is row-major, not CSC).
+        Acoo = A.tocoo()
+        self.coo_rows = Acoo.row.astype(np.int32)
+        self.coo_cols = Acoo.col.astype(np.int32)
+        self.coo_vals = Acoo.data.copy()
+
+        # Pattern of S = A A' (+ explicit diagonal for the -del_c term).
+        Abool = A.copy()
+        Abool.data = np.ones_like(Abool.data)
+        S_pat = (Abool @ Abool.T + sp.eye(m)).tocsc().sorted_indices()
+
+        # Contribution lists: for column k of A with rows R_k, every pair
+        # (i, j) in R_k x R_k with i >= j contributes A_ik D_k A_jk to S_ij
+        # (lower triangle; the factorization consumes upper-CSC == lower-CSR).
+        Acsc = A
+        indptr, indices = Acsc.indptr, Acsc.indices
+        # value-position lookup in the UPPER-CSC of S (what analyze stores)
+        S_up = sp.triu(S_pat.tocsr(), k=0, format="csc").sorted_indices()
+        pos = {}
+        for j in range(m):
+            for p in range(S_up.indptr[j], S_up.indptr[j + 1]):
+                i = int(S_up.indices[p])  # i <= j: upper entry (i, j)
+                pos[(i, j)] = p
+        pair_p, pair_q, pair_k, pair_e = [], [], [], []
+        for k in range(n):
+            lo, hi = indptr[k], indptr[k + 1]
+            rows = indices[lo:hi]
+            for a in range(lo, hi):
+                ia = int(indices[a])
+                for bq in range(lo, hi):
+                    jb = int(indices[bq])
+                    if jb > ia:
+                        continue  # keep i >= j (lower); upper key is (j, i)
+                    pair_p.append(a)
+                    pair_q.append(bq)
+                    pair_k.append(k)
+                    pair_e.append(pos[(jb, ia)])
+        self.pair_p = jnp.asarray(np.asarray(pair_p, np.int32))
+        self.pair_q = jnp.asarray(np.asarray(pair_q, np.int32))
+        self.pair_k = jnp.asarray(np.asarray(pair_k, np.int32))
+        self.pair_e = jnp.asarray(np.asarray(pair_e, np.int32))
+        self.nnz_up = int(S_up.nnz)
+        # diagonal positions in the upper-CSC value array (for -del_c I)
+        diag_pos = np.asarray([pos[(j, j)] for j in range(m)], np.int32)
+        self.diag_pos = jnp.asarray(diag_pos)
+
+        # Supernodal symbolic over the S pattern; we feed values directly in
+        # the symbolic's permuted upper-CSC order via a static gather.
+        self.symb = SC.analyze(S_pat, order=order, max_supernode=max_supernode)
+        # map: permuted-upper-CSC position -> original-upper-CSC position
+        perm = self.symb.perm
+        # entry (Ui[p], j) of permuted upper = original (perm[Ui[p]], perm[j])
+        gmap = np.empty(len(self.symb.Ui), np.int32)
+        Up, Ui = self.symb.Up, self.symb.Ui
+        for j in range(m):
+            gj = int(perm[j])
+            for p in range(Up[j], Up[j + 1]):
+                gi = int(perm[int(Ui[p])])
+                a, bb = (gi, gj) if gi <= gj else (gj, gi)
+                gmap[p] = pos[(a, bb)]
+        self.value_gather = jnp.asarray(gmap)
+
+    def factorize(self, prob: SparseLPProblem, pr_diag, del_c):
+        if prob.H is not None:
+            raise ValueError("NormalKKT supports only linear programs.")
+        D = 1.0 / pr_diag
+        contrib = (
+            prob.a_vals[self.pair_p]
+            * D[self.pair_k]
+            * prob.a_vals[self.pair_q]
+        )
+        s_vals = jax.ops.segment_sum(
+            contrib, self.pair_e, num_segments=self.nnz_up
+        )
+        s_vals = s_vals.at[self.diag_pos].add(-del_c)
+        panels = SC.factorize(self.symb, s_vals[self.value_gather])
+        return (panels, D, prob)
+
+    def solve(self, factors, rx, ry):
+        panels, D, prob = factors
+        r1 = rx * D
+        r2 = prob.jac_mv(r1) - ry
+        dy = SC.solve(self.symb, panels, r2)
+        dx = (rx - prob.jac_rmv(dy)) * D
+        return dx, dy
+
+    def factor_ok(self, factors):
+        panels, D, _ = factors
+        ok = jnp.all(D > 0)
+        for P in panels:
+            w = min(P.shape)  # diag block is the top w x w
+            dP = jnp.diagonal(P[: P.shape[1], :])
+            ok = ok & jnp.all(jnp.isfinite(dP)) & jnp.all(dP > 0)
+        return ok
+
+
+def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto", **options):
+    """Solve a (large sparse) LP fully on device: sparse matvecs + on-device
+    normal-equation assembly + supernodal Cholesky.
+
+    Returns ExecutionStats like mq.solve.
+    """
+    import time
+
+    from ..solver.mpc import MPCKernel
+    from ..solver.driver import _STATUS_MAP
+    from ..utils import Counters, ExecutionStats, Status, load_options
+
+    if not qp.is_lp:
+        raise ValueError("solve_sparse_lp handles LPs only (use mq.solve).")
+
+    opts, _ = load_options(**options)
+    std, info, x0, y0 = build_standard_form_sparse(
+        qp, scaling=opts.scaling, max_gradient=opts.max_gradient
+    )
+    kkt = DeviceSparseNormalKKT(std.A, order=order)
+    dtype = jnp.dtype(opts.dtype)
+    prob = SparseLPProblem(
+        c0=jnp.asarray(std.c0, dtype),
+        c=jnp.asarray(std.c, dtype),
+        b=jnp.asarray(std.b, dtype),
+        has_lb=jnp.asarray(std.has_lb),
+        has_ub=jnp.asarray(std.has_ub),
+        a_rows=jnp.asarray(kkt.coo_rows),
+        a_cols=jnp.asarray(kkt.coo_cols),
+        a_vals=jnp.asarray(kkt.coo_vals, dtype),
+    )
+    kernel = MPCKernel(opts)
+    kernel.kkt = kkt  # plug the structured KKT into the stock MPC core
+
+    solve = jax.jit(kernel.solve_from)
+    t0 = time.time()
+    final = jax.block_until_ready(
+        solve(prob, jnp.asarray(x0, dtype), jnp.asarray(y0, dtype),
+              jnp.asarray(std.lb, dtype), jnp.asarray(std.ub, dtype))
+    )
+    wall = time.time() - t0
+
+    status = _STATUS_MAP.get(int(final.status), Status.INTERNAL_ERROR)
+    x_user = info.recover_x(np.asarray(final.x, np.float64)[: info.n])
+    y_user = info.recover_y(np.asarray(final.y, np.float64)[: info.m])
+    g_user = qp.grad(x_user)
+    r_fix = g_user + qp.jtprod(y_user)
+    zl_user = info.recover_z(
+        np.asarray(final.zl, np.float64)[: info.n], np.maximum(r_fix, 0.0)
+    )
+    zu_user = info.recover_z(
+        np.asarray(final.zu, np.float64)[: info.n], np.maximum(-r_fix, 0.0)
+    )
+    return ExecutionStats(
+        status=status,
+        objective=float(qp.obj(x_user)),
+        solution=x_user,
+        constraints=qp.cons(x_user),
+        multipliers=y_user,
+        multipliers_L=zl_user,
+        multipliers_U=zu_user,
+        iter=int(final.k),
+        counters=Counters(total_time=wall, k=int(final.k)),
+        primal_feas=float(final.inf_pr),
+        dual_feas=float(final.inf_du),
+        complementarity=float(final.inf_compl),
+        options=opts,
+    )

@@ -1,0 +1,80 @@
+"""Fully on-device sparse LP path (solver/sparse_lp.py).
+
+Oracle strategy (SURVEY §4): the device sparse normal-equations KKT is
+checked against the exact KKT residual equations, and the end-to-end
+solve against the dense-path solver on the same problem (the reference's
+self-consistency oracle, test/runtests.jl:95-135).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+import madqp_tpu as mq
+from madqp_tpu.models.generators import banded_sparse_lp
+from madqp_tpu.solver.sparse_lp import (
+    DeviceSparseNormalKKT,
+    SparseLPProblem,
+    solve_sparse_lp,
+)
+
+
+def _make_problem(kkt, n, m):
+    return SparseLPProblem(
+        c0=jnp.zeros(()),
+        c=jnp.zeros(n),
+        b=jnp.zeros(m),
+        has_lb=jnp.ones(n, bool),
+        has_ub=jnp.zeros(n, bool),
+        a_rows=jnp.asarray(kkt.coo_rows),
+        a_cols=jnp.asarray(kkt.coo_cols),
+        a_vals=jnp.asarray(kkt.coo_vals),
+    )
+
+
+@pytest.mark.parametrize("order", ["amd", "rcm"])
+def test_device_normal_kkt_residual(order):
+    rng = np.random.default_rng(0)
+    m, n = 40, 90
+    A = sp.random(m, n, density=0.1, random_state=1, format="csr")
+    A = A + sp.hstack([sp.eye(m), sp.csr_matrix((m, n - m))]).tocsr()
+    # NOTE: CSR input — regression for the CSC/CSR data-ordering bug (the
+    # pair contribution indices address the KKT's canonical CSC ordering).
+    kkt = DeviceSparseNormalKKT(A, order=order)
+    prob = _make_problem(kkt, n, m)
+
+    pr_diag = jnp.asarray(rng.uniform(0.5, 2.0, n))
+    del_c = -1e-8
+    f = kkt.factorize(prob, pr_diag, del_c)
+    assert bool(kkt.factor_ok(f))
+
+    rx = jnp.asarray(rng.standard_normal(n))
+    ry = jnp.asarray(rng.standard_normal(m))
+    dx, dy = kkt.solve(f, rx, ry)
+
+    Ad = A.toarray()
+    r1 = np.asarray(pr_diag) * np.asarray(dx) + Ad.T @ np.asarray(dy) - np.asarray(rx)
+    r2 = Ad @ np.asarray(dx) + del_c * np.asarray(dy) - np.asarray(ry)
+    assert np.abs(r1).max() < 1e-10
+    assert np.abs(r2).max() < 1e-10
+
+
+def test_sparse_lp_matches_dense_solver():
+    qp = banded_sparse_lp(n=160, m=80, band=4, seed=3)
+    st = solve_sparse_lp(qp, tol=1e-8, print_level=0)
+    ref = mq.solve(qp, tol=1e-8, print_level=0)
+    assert st.status == ref.status
+    assert st.iter == ref.iter  # iteration-identical (same algorithm)
+    assert abs(st.objective - ref.objective) <= 1e-7 * max(1.0, abs(ref.objective))
+    np.testing.assert_allclose(st.solution, ref.solution, atol=1e-6)
+    assert st.primal_feas < 1e-7
+    assert st.dual_feas < 1e-7
+
+
+def test_sparse_lp_rejects_qp():
+    qp = mq.models.generators.random_qp(n=20, m=10, seed=0)
+    with pytest.raises(ValueError):
+        solve_sparse_lp(qp)
