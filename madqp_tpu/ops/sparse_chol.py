@@ -263,3 +263,243 @@ class DeviceSparseCholesky:
     @property
     def n_supernodes(self) -> int:
         return len(self.symb.supernodes)
+
+# ---------------------------------------------------------------------------
+# SPARSE_PLAN S3: level-scheduled, shape-bucketed batched numeric phase.
+#
+# The prototype above traces one dense front per supernode — compile time
+# (and XLA program size) grows linearly with the supernode count.  The
+# batched phase groups supernodes by elimination-tree level (children
+# strictly before parents) and, within a level, buckets them by padded
+# (width, update) shape; each bucket is ONE batched Cholesky + triangular
+# solve + matmul on a (L, r_pad, r_pad) tensor — MXU food, compile cost
+# O(levels x buckets).  All irregularity is precomputed host-side as flat
+# gather/scatter-add index arrays; child Schur updates flow through a
+# single flat `upd_buf` device array with static per-supernode offsets.
+# ---------------------------------------------------------------------------
+
+
+def _pad_pow2(v: int, lo: int = 8) -> int:
+    b = lo
+    while b < v:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class _Bucket:
+    """One (level, shape) group of supernodes, batched on device."""
+
+    w_pad: int
+    u_pad: int
+    count: int
+    cols_idx: np.ndarray     # (L, w_pad) gather/scatter idx into x; dummy = n
+    below_idx: np.ndarray    # (L, u_pad) idx of below-diagonal rows; dummy = n
+    asm_src: np.ndarray      # gather into a_values (A assembly)
+    asm_dst: np.ndarray      # flat scatter into the (L*r_pad*r_pad,) fronts
+    pad_dst: np.ndarray      # unit-diagonal positions for width padding
+    child_src: np.ndarray    # gather into upd_buf (extend-add)
+    child_dst: np.ndarray    # flat scatter into fronts
+    upd_src: np.ndarray      # gather from the (L*u_pad*u_pad,) update tensor
+    upd_dst: np.ndarray      # scatter (set) into upd_buf
+    diag_rows: np.ndarray    # (L, w_pad) real-column mask for factor_ok
+
+
+@dataclasses.dataclass
+class BucketedSymbolic:
+    n: int
+    perm: np.ndarray
+    iperm: np.ndarray
+    Up: np.ndarray
+    Ui: np.ndarray
+    levels: List[List[_Bucket]]   # levels[k] = buckets at tree level k
+    total_upd: int
+
+
+def analyze_batched(A: sp.spmatrix, order: str = "auto",
+                    max_supernode: int = 128) -> BucketedSymbolic:
+    """Host symbolic analysis producing the level/bucket schedule."""
+    symb = analyze(A, order=order, max_supernode=max_supernode)
+    snodes = symb.supernodes
+    nsn = len(snodes)
+    n = symb.n
+
+    # Tree levels: leaves at 0, parent strictly above all children.
+    level = np.zeros(nsn, np.int64)
+    for s in range(nsn):  # postorder: children come first
+        p = snodes[s].parent
+        if p >= 0:
+            level[p] = max(level[p], level[s] + 1)
+    nlev = int(level.max()) + 1 if nsn else 0
+
+    # Flat update-buffer offsets (unpadded u*u blocks per supernode).
+    u_sizes = np.asarray([sn.rows.size - sn.cols.size for sn in snodes])
+    upd_off = np.zeros(nsn + 1, np.int64)
+    np.cumsum(u_sizes * u_sizes, out=upd_off[1:])
+    total_upd = int(upd_off[-1])
+
+    levels: List[List[_Bucket]] = []
+    for lev in range(nlev):
+        members = [s for s in range(nsn) if level[s] == lev]
+        groups: dict = {}
+        for s in members:
+            sn = snodes[s]
+            w, u = sn.cols.size, sn.rows.size - sn.cols.size
+            key = (_pad_pow2(w), _pad_pow2(u) if u else 0)
+            groups.setdefault(key, []).append(s)
+        bucks = []
+        for (w_pad, u_pad), ids in sorted(groups.items()):
+            r_pad = w_pad + u_pad
+            L = len(ids)
+            cols_idx = np.full((L, w_pad), n, np.int32)
+            below_idx = np.full((L, max(u_pad, 1)), n, np.int32)
+            diag_rows = np.zeros((L, w_pad), bool)
+            asm_src, asm_dst = [], []
+            pad_dst = []
+            child_src, child_dst = [], []
+            upd_src, upd_dst = [], []
+            for k, s in enumerate(ids):
+                sn = snodes[s]
+                w = sn.cols.size
+                u = sn.rows.size - w
+                cols_idx[k, :w] = sn.cols
+                if u:
+                    below_idx[k, :u] = sn.rows[w:]
+                diag_rows[k, :w] = True
+                base = k * r_pad * r_pad
+
+                # local position map: eliminated rows keep their index,
+                # below-diagonal rows shift to the padded update block.
+                def loc(i):
+                    return i if i < w else w_pad + (i - w)
+
+                # A assembly (a_dst encodes a*r + b over the UNPADDED front)
+                r = sn.rows.size
+                for src, dflat in zip(sn.a_src, sn.a_dst):
+                    a, b = divmod(int(dflat), r)
+                    asm_src.append(int(src))
+                    asm_dst.append(base + loc(a) * r_pad + loc(b))
+                for i in range(w, w_pad):
+                    pad_dst.append(base + i * r_pad + i)
+
+                # extend-add from children (lower-triangle pairs only)
+                lmap = {int(g): loc(j) for j, g in enumerate(sn.rows)}
+                for c in sn.child_ids:
+                    ch = snodes[c]
+                    urows = ch.rows[ch.cols.size:]
+                    uc = urows.size
+                    lidx = np.asarray([lmap[int(g)] for g in urows])
+                    off = upd_off[c]
+                    for ci in range(uc):
+                        for cj in range(ci + 1):
+                            a2, b2 = lidx[ci], lidx[cj]
+                            if a2 < b2:
+                                a2, b2 = b2, a2
+                            child_src.append(off + ci * uc + cj)
+                            child_dst.append(base + a2 * r_pad + b2)
+
+                # update write-out: padded tensor -> flat unpadded buffer
+                ubase = k * u_pad * u_pad
+                off = upd_off[s]
+                for ci in range(u):
+                    for cj in range(u):
+                        upd_src.append(ubase + ci * u_pad + cj)
+                        upd_dst.append(off + ci * u + cj)
+
+            bucks.append(_Bucket(
+                w_pad=w_pad, u_pad=u_pad, count=L,
+                cols_idx=cols_idx, below_idx=below_idx,
+                asm_src=np.asarray(asm_src, np.int64),
+                asm_dst=np.asarray(asm_dst, np.int64),
+                pad_dst=np.asarray(pad_dst, np.int64),
+                child_src=np.asarray(child_src, np.int64),
+                child_dst=np.asarray(child_dst, np.int64),
+                upd_src=np.asarray(upd_src, np.int64),
+                upd_dst=np.asarray(upd_dst, np.int64),
+                diag_rows=diag_rows,
+            ))
+        levels.append(bucks)
+
+    return BucketedSymbolic(
+        n=n, perm=symb.perm, iperm=symb.iperm, Up=symb.Up, Ui=symb.Ui,
+        levels=levels, total_upd=total_upd,
+    )
+
+
+def factorize_batched(bs: BucketedSymbolic, a_values):
+    """Batched numeric factorization.  Returns panels: one (L, r_pad, w_pad)
+    array per bucket, in level-major order (a flat pytree list)."""
+    dtype = a_values.dtype
+    upd_buf = jnp.zeros((bs.total_upd,), dtype)
+    panels = []
+    for bucks in bs.levels:
+        new_chunks = []
+        for bk in bucks:
+            Lb, w_pad, u_pad = bk.count, bk.w_pad, bk.u_pad
+            r_pad = w_pad + u_pad
+            F = jnp.zeros((Lb * r_pad * r_pad,), dtype)
+            F = F.at[bk.asm_dst].add(a_values[bk.asm_src])
+            if bk.pad_dst.size:
+                F = F.at[bk.pad_dst].add(jnp.ones((bk.pad_dst.size,), dtype))
+            if bk.child_src.size:
+                F = F.at[bk.child_dst].add(upd_buf[bk.child_src])
+            F = F.reshape(Lb, r_pad, r_pad)
+            F = jnp.tril(F) + jnp.tril(F, -1).transpose(0, 2, 1)
+            L11 = jnp.linalg.cholesky(F[:, :w_pad, :w_pad])
+            if u_pad:
+                L21 = jax.lax.linalg.triangular_solve(
+                    L11, F[:, w_pad:, :w_pad], left_side=False,
+                    lower=True, transpose_a=True,
+                )
+                U = F[:, w_pad:, w_pad:] - L21 @ L21.transpose(0, 2, 1)
+                new_chunks.append((bk, U))
+                panels.append(jnp.concatenate([L11, L21], axis=1))
+            else:
+                panels.append(L11)
+        # write updates after the whole level (siblings never conflict, but
+        # batching order inside the level is irrelevant anyway)
+        for bk, U in new_chunks:
+            upd_buf = upd_buf.at[bk.upd_dst].set(U.reshape(-1)[bk.upd_src])
+    return panels
+
+
+def solve_batched(bs: BucketedSymbolic, panels, b):
+    """Level-scheduled batched triangular solves: L y = b, then L' x = y."""
+    x = jnp.concatenate([jnp.asarray(b)[bs.perm], jnp.zeros((1,), b.dtype)])
+    flat = [bk for bucks in bs.levels for bk in bucks]
+    # forward
+    for bk, P in zip(flat, panels):
+        w_pad, u_pad = bk.w_pad, bk.u_pad
+        xj = x[bk.cols_idx]                              # (L, w_pad)
+        xj = jax.lax.linalg.triangular_solve(
+            P[:, :w_pad, :], xj[..., None], left_side=True, lower=True,
+        )[..., 0]
+        x = x.at[bk.cols_idx.reshape(-1)].set(xj.reshape(-1))
+        if u_pad:
+            y = (P[:, w_pad:, :] @ xj[..., None])[..., 0]  # (L, u_pad)
+            x = x.at[bk.below_idx.reshape(-1)].add(-y.reshape(-1))
+        x = x.at[bs.n].set(0.0)
+    # backward
+    for bk, P in zip(flat[::-1], panels[::-1]):
+        w_pad, u_pad = bk.w_pad, bk.u_pad
+        rhs = x[bk.cols_idx]
+        if u_pad:
+            xb = x[bk.below_idx]                          # (L, u_pad)
+            rhs = rhs - (P[:, w_pad:, :].transpose(0, 2, 1) @ xb[..., None])[..., 0]
+        xj = jax.lax.linalg.triangular_solve(
+            P[:, :w_pad, :], rhs[..., None], left_side=True, lower=True,
+            transpose_a=True,
+        )[..., 0]
+        x = x.at[bk.cols_idx.reshape(-1)].set(xj.reshape(-1))
+        x = x.at[bs.n].set(0.0)
+    return x[:-1][bs.iperm]
+
+
+def factor_ok_batched(panels) -> jax.Array:
+    """All diagonal pivots finite and positive (padding diag is 1)."""
+    ok = jnp.asarray(True)
+    for P in panels:
+        w = P.shape[-1]
+        d = jnp.diagonal(P[:, :w, :], axis1=-2, axis2=-1)
+        ok = ok & jnp.all(jnp.isfinite(d)) & jnp.all(d > 0)
+    return ok

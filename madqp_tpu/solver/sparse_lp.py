@@ -79,7 +79,7 @@ class DeviceSparseNormalKKT:
     name = "sparse-normal(device)"
 
     def __init__(self, A: sp.spmatrix, order: str = "auto",
-                 max_supernode: int = 128):
+                 max_supernode: int = 128, mode: str = "batched"):
         A = sp.csc_matrix(A)
         A.sum_duplicates()
         A = A.sorted_indices()
@@ -136,7 +136,17 @@ class DeviceSparseNormalKKT:
 
         # Supernodal symbolic over the S pattern; we feed values directly in
         # the symbolic's permuted upper-CSC order via a static gather.
-        self.symb = SC.analyze(S_pat, order=order, max_supernode=max_supernode)
+        # mode="batched" uses the level-scheduled shape-bucketed numeric
+        # phase (SPARSE_PLAN S3): compile cost O(levels x buckets) instead of
+        # O(supernodes), and every bucket is one MXU-batched dense front.
+        self.mode = mode
+        if mode == "batched":
+            self.symb = SC.analyze_batched(
+                S_pat, order=order, max_supernode=max_supernode
+            )
+        else:
+            self.symb = SC.analyze(S_pat, order=order,
+                                   max_supernode=max_supernode)
         # map: permuted-upper-CSC position -> original-upper-CSC position
         perm = self.symb.perm
         # entry (Ui[p], j) of permuted upper = original (perm[Ui[p]], perm[j])
@@ -163,20 +173,28 @@ class DeviceSparseNormalKKT:
             contrib, self.pair_e, num_segments=self.nnz_up
         )
         s_vals = s_vals.at[self.diag_pos].add(-del_c)
-        panels = SC.factorize(self.symb, s_vals[self.value_gather])
+        if self.mode == "batched":
+            panels = SC.factorize_batched(self.symb, s_vals[self.value_gather])
+        else:
+            panels = SC.factorize(self.symb, s_vals[self.value_gather])
         return (panels, D, prob)
 
     def solve(self, factors, rx, ry):
         panels, D, prob = factors
         r1 = rx * D
         r2 = prob.jac_mv(r1) - ry
-        dy = SC.solve(self.symb, panels, r2)
+        if self.mode == "batched":
+            dy = SC.solve_batched(self.symb, panels, r2)
+        else:
+            dy = SC.solve(self.symb, panels, r2)
         dx = (rx - prob.jac_rmv(dy)) * D
         return dx, dy
 
     def factor_ok(self, factors):
         panels, D, _ = factors
         ok = jnp.all(D > 0)
+        if self.mode == "batched":
+            return ok & SC.factor_ok_batched(panels)
         for P in panels:
             w = min(P.shape)  # diag block is the top w x w
             dP = jnp.diagonal(P[: P.shape[1], :])
@@ -184,7 +202,8 @@ class DeviceSparseNormalKKT:
         return ok
 
 
-def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto", **options):
+def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
+                    mode: str = "batched", **options):
     """Solve a (large sparse) LP fully on device: sparse matvecs + on-device
     normal-equation assembly + supernodal Cholesky.
 
@@ -203,7 +222,7 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto", **options):
     std, info, x0, y0 = build_standard_form_sparse(
         qp, scaling=opts.scaling, max_gradient=opts.max_gradient
     )
-    kkt = DeviceSparseNormalKKT(std.A, order=order)
+    kkt = DeviceSparseNormalKKT(std.A, order=order, mode=mode)
     dtype = jnp.dtype(opts.dtype)
     prob = SparseLPProblem(
         c0=jnp.asarray(std.c0, dtype),

@@ -35,15 +35,17 @@ def _make_problem(kkt, n, m):
     )
 
 
-@pytest.mark.parametrize("order", ["amd", "rcm"])
-def test_device_normal_kkt_residual(order):
+@pytest.mark.parametrize("order,mode", [
+    ("amd", "batched"), ("rcm", "batched"), ("amd", "unrolled"),
+])
+def test_device_normal_kkt_residual(order, mode):
     rng = np.random.default_rng(0)
     m, n = 40, 90
     A = sp.random(m, n, density=0.1, random_state=1, format="csr")
     A = A + sp.hstack([sp.eye(m), sp.csr_matrix((m, n - m))]).tocsr()
     # NOTE: CSR input — regression for the CSC/CSR data-ordering bug (the
     # pair contribution indices address the KKT's canonical CSC ordering).
-    kkt = DeviceSparseNormalKKT(A, order=order)
+    kkt = DeviceSparseNormalKKT(A, order=order, mode=mode)
     prob = _make_problem(kkt, n, m)
 
     pr_diag = jnp.asarray(rng.uniform(0.5, 2.0, n))
