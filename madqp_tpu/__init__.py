@@ -61,7 +61,14 @@ from .models import (  # noqa: E402
     presolve_qp,
 )
 from .io import read_mps, write_mps  # noqa: E402
-from .solver import MPCSolver, solve, HostMPCSolver, solve_host  # noqa: E402
+from .solver import (  # noqa: E402
+    MPCSolver,
+    solve,
+    HostMPCSolver,
+    solve_host,
+    solve_sparse_lp,
+    solve_sparse_qp,
+)
 
 __version__ = "0.1.0"
 
@@ -97,5 +104,7 @@ __all__ = [
     "solve",
     "HostMPCSolver",
     "solve_host",
+    "solve_sparse_lp",
+    "solve_sparse_qp",
     "banded_sparse_lp",
 ]

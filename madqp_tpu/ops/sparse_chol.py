@@ -503,3 +503,134 @@ def factor_ok_batched(panels) -> jax.Array:
         d = jnp.diagonal(P[:, :w, :], axis1=-2, axis2=-1)
         ok = ok & jnp.all(jnp.isfinite(d)) & jnp.all(d > 0)
     return ok
+
+# ---------------------------------------------------------------------------
+# Signed LDL^T numeric phase over the same bucketed symbolic: factorizes
+# symmetric QUASI-DEFINITE matrices (reference SURVEY §7.3 #1: "emulate
+# [Bunch-Kaufman] via regularized quasi-definite LDL^T — signed diagonal,
+# no pivoting").  This is what the augmented KKT [W A'; A dc I] needs: W
+# block positive, dual block negative, both kept away from zero by the
+# IPM's primal/dual regularization, so no dynamic pivoting is required
+# (Vanderbei's quasi-definite factorization theorem — same justification
+# as the reference's cuDSS pivotless LDL path).
+# ---------------------------------------------------------------------------
+
+
+def dense_ldl(F):
+    """No-pivot LDL^T of (..., w, w) symmetric matrices: F = L D L' with L
+    unit lower triangular.  Sequential over columns (w is a supernode panel
+    width, <= max_supernode); everything else stays batched."""
+    w = F.shape[-1]
+    idx = jnp.arange(w)
+
+    def body(j, carry):
+        F, L, d = carry
+        dj = F[..., j, j]
+        col = F[..., :, j] / dj[..., None]
+        col = jnp.where(idx > j, col, 0.0)
+        F = F - dj[..., None, None] * col[..., :, None] * col[..., None, :]
+        L = L.at[..., :, j].set(col)
+        d = d.at[..., j].set(dj)
+        return F, L, d
+
+    L0 = jnp.zeros_like(F)
+    d0 = jnp.zeros(F.shape[:-1], F.dtype)
+    _, L, d = jax.lax.fori_loop(0, w, body, (F, L0, d0))
+    L = L + jnp.eye(w, dtype=F.dtype)
+    return L, d
+
+
+def factorize_batched_ldl(bs: BucketedSymbolic, a_values):
+    """Batched supernodal LDL^T.  Returns (panels, dvecs, dglob): per-bucket
+    unit-lower panels (L, r_pad, w_pad), pivot vectors (L, w_pad), and the
+    global pivot vector in permuted order (n+1, last slot dummy 1)."""
+    dtype = a_values.dtype
+    upd_buf = jnp.zeros((bs.total_upd,), dtype)
+    dglob = jnp.ones((bs.n + 1,), dtype)
+    panels, dvecs = [], []
+    for bucks in bs.levels:
+        new_chunks = []
+        for bk in bucks:
+            Lb, w_pad, u_pad = bk.count, bk.w_pad, bk.u_pad
+            r_pad = w_pad + u_pad
+            F = jnp.zeros((Lb * r_pad * r_pad,), dtype)
+            F = F.at[bk.asm_dst].add(a_values[bk.asm_src])
+            if bk.pad_dst.size:
+                F = F.at[bk.pad_dst].add(jnp.ones((bk.pad_dst.size,), dtype))
+            if bk.child_src.size:
+                F = F.at[bk.child_dst].add(upd_buf[bk.child_src])
+            F = F.reshape(Lb, r_pad, r_pad)
+            F = jnp.tril(F) + jnp.tril(F, -1).transpose(0, 2, 1)
+            L11, d = dense_ldl(F[:, :w_pad, :w_pad])
+            dglob = dglob.at[bk.cols_idx.reshape(-1)].set(d.reshape(-1))
+            dvecs.append(d)
+            if u_pad:
+                # Z = F21 L11^{-T};  L21 = Z / d;  U = F22 - Z diag(1/d) Z'
+                Z = jax.lax.linalg.triangular_solve(
+                    L11, F[:, w_pad:, :w_pad], left_side=False,
+                    lower=True, transpose_a=True, unit_diagonal=True,
+                )
+                L21 = Z / d[:, None, :]
+                U = F[:, w_pad:, w_pad:] - Z @ L21.transpose(0, 2, 1)
+                new_chunks.append((bk, U))
+                panels.append(jnp.concatenate([L11, L21], axis=1))
+            else:
+                panels.append(L11)
+        for bk, U in new_chunks:
+            upd_buf = upd_buf.at[bk.upd_dst].set(U.reshape(-1)[bk.upd_src])
+    dglob = dglob.at[bs.n].set(1.0)
+    return panels, dvecs, dglob
+
+
+def solve_batched_ldl(bs: BucketedSymbolic, factors, b):
+    """Solve A x = b given the supernodal LDL^T factors: L z = b (unit
+    lower, level-scheduled), z /= d, L' x = z."""
+    panels, _, dglob = factors
+    x = jnp.concatenate([jnp.asarray(b)[bs.perm], jnp.zeros((1,), b.dtype)])
+    flat = [bk for bucks in bs.levels for bk in bucks]
+    for bk, P in zip(flat, panels):
+        w_pad, u_pad = bk.w_pad, bk.u_pad
+        xj = jax.lax.linalg.triangular_solve(
+            P[:, :w_pad, :], x[bk.cols_idx][..., None], left_side=True,
+            lower=True, unit_diagonal=True,
+        )[..., 0]
+        x = x.at[bk.cols_idx.reshape(-1)].set(xj.reshape(-1))
+        if u_pad:
+            y = (P[:, w_pad:, :] @ xj[..., None])[..., 0]
+            x = x.at[bk.below_idx.reshape(-1)].add(-y.reshape(-1))
+        x = x.at[bs.n].set(0.0)
+    x = x / dglob
+    for bk, P in zip(flat[::-1], panels[::-1]):
+        w_pad, u_pad = bk.w_pad, bk.u_pad
+        rhs = x[bk.cols_idx]
+        if u_pad:
+            xb = x[bk.below_idx]
+            rhs = rhs - (P[:, w_pad:, :].transpose(0, 2, 1) @ xb[..., None])[..., 0]
+        xj = jax.lax.linalg.triangular_solve(
+            P[:, :w_pad, :], rhs[..., None], left_side=True, lower=True,
+            transpose_a=True, unit_diagonal=True,
+        )[..., 0]
+        x = x.at[bk.cols_idx.reshape(-1)].set(xj.reshape(-1))
+        x = x.at[bs.n].set(0.0)
+    return x[:-1][bs.iperm]
+
+
+def bucket_signs(bs: BucketedSymbolic, signs: np.ndarray) -> List[np.ndarray]:
+    """Expected pivot signs per bucket column (original order -> buckets);
+    padding columns expect +1.  Host-side, once per pattern."""
+    sp_perm = np.concatenate([np.asarray(signs)[bs.perm], [1.0]])
+    return [
+        sp_perm[bk.cols_idx]
+        for bucks in bs.levels for bk in bucks
+    ]
+
+
+def factor_ok_batched_ldl(factors, expected_signs) -> jax.Array:
+    """Inertia check (reference is_inertia_correct, normalkkt.jl:132-134
+    generalized): every pivot finite, nonzero, and of the sign quasi-
+    definiteness predicts (+ primal block, - dual block)."""
+    _, dvecs, _ = factors
+    ok = jnp.asarray(True)
+    for d, s in zip(dvecs, expected_signs):
+        ok = ok & jnp.all(jnp.isfinite(d)) & jnp.all(d * jnp.asarray(s) > 0)
+    return ok

@@ -2,6 +2,8 @@ from .state import IPMState, ProblemArrays, problem_to_device, count_onesided
 from .mpc import MPCKernel
 from .driver import MPCSolver, solve
 from .host import HostMPCSolver, solve_host
+from .sparse_lp import solve_sparse_lp
+from .sparse_qp import solve_sparse_qp
 
 __all__ = [
     "IPMState",
@@ -13,4 +15,6 @@ __all__ = [
     "solve",
     "HostMPCSolver",
     "solve_host",
+    "solve_sparse_lp",
+    "solve_sparse_qp",
 ]

@@ -79,7 +79,9 @@ class DeviceSparseNormalKKT:
     name = "sparse-normal(device)"
 
     def __init__(self, A: sp.spmatrix, order: str = "auto",
-                 max_supernode: int = 128, mode: str = "batched"):
+                 max_supernode: int = 128, mode: str = "batched",
+                 fact_dtype=None):
+        self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
         A = sp.csc_matrix(A)
         A.sum_duplicates()
         A = A.sorted_indices()
@@ -173,20 +175,29 @@ class DeviceSparseNormalKKT:
             contrib, self.pair_e, num_segments=self.nnz_up
         )
         s_vals = s_vals.at[self.diag_pos].add(-del_c)
+        s_vals = s_vals[self.value_gather]
+        if self.fact_dtype is not None and s_vals.dtype != self.fact_dtype:
+            # Mixed precision (see sparse_qp): f32 factorization; the MPC
+            # kernel's iterative refinement recovers f64.
+            s_vals = s_vals.astype(self.fact_dtype)
         if self.mode == "batched":
-            panels = SC.factorize_batched(self.symb, s_vals[self.value_gather])
+            panels = SC.factorize_batched(self.symb, s_vals)
         else:
-            panels = SC.factorize(self.symb, s_vals[self.value_gather])
+            panels = SC.factorize(self.symb, s_vals)
         return (panels, D, prob)
 
     def solve(self, factors, rx, ry):
         panels, D, prob = factors
         r1 = rx * D
         r2 = prob.jac_mv(r1) - ry
+        out_dtype = r2.dtype
+        if self.fact_dtype is not None and r2.dtype != self.fact_dtype:
+            r2 = r2.astype(self.fact_dtype)
         if self.mode == "batched":
             dy = SC.solve_batched(self.symb, panels, r2)
         else:
             dy = SC.solve(self.symb, panels, r2)
+        dy = dy.astype(out_dtype)
         dx = (rx - prob.jac_rmv(dy)) * D
         return dx, dy
 
@@ -212,8 +223,8 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     import time
 
     from ..solver.mpc import MPCKernel
-    from ..solver.driver import _STATUS_MAP
-    from ..utils import Counters, ExecutionStats, Status, load_options
+    from ..solver.sparse_qp import finish_stats
+    from ..utils import load_options
 
     if not qp.is_lp:
         raise ValueError("solve_sparse_lp handles LPs only (use mq.solve).")
@@ -222,7 +233,10 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     std, info, x0, y0 = build_standard_form_sparse(
         qp, scaling=opts.scaling, max_gradient=opts.max_gradient
     )
-    kkt = DeviceSparseNormalKKT(std.A, order=order, mode=mode)
+    kkt = DeviceSparseNormalKKT(
+        std.A, order=order, mode=mode,
+        fact_dtype=opts.factorization_dtype or None,
+    )
     dtype = jnp.dtype(opts.dtype)
     prob = SparseLPProblem(
         c0=jnp.asarray(std.c0, dtype),
@@ -244,30 +258,4 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
               jnp.asarray(std.lb, dtype), jnp.asarray(std.ub, dtype))
     )
     wall = time.time() - t0
-
-    status = _STATUS_MAP.get(int(final.status), Status.INTERNAL_ERROR)
-    x_user = info.recover_x(np.asarray(final.x, np.float64)[: info.n])
-    y_user = info.recover_y(np.asarray(final.y, np.float64)[: info.m])
-    g_user = qp.grad(x_user)
-    r_fix = g_user + qp.jtprod(y_user)
-    zl_user = info.recover_z(
-        np.asarray(final.zl, np.float64)[: info.n], np.maximum(r_fix, 0.0)
-    )
-    zu_user = info.recover_z(
-        np.asarray(final.zu, np.float64)[: info.n], np.maximum(-r_fix, 0.0)
-    )
-    return ExecutionStats(
-        status=status,
-        objective=float(qp.obj(x_user)),
-        solution=x_user,
-        constraints=qp.cons(x_user),
-        multipliers=y_user,
-        multipliers_L=zl_user,
-        multipliers_U=zu_user,
-        iter=int(final.k),
-        counters=Counters(total_time=wall, k=int(final.k)),
-        primal_feas=float(final.inf_pr),
-        dual_feas=float(final.inf_du),
-        complementarity=float(final.inf_compl),
-        options=opts,
-    )
+    return finish_stats(qp, info, opts, final, wall)
