@@ -63,8 +63,17 @@ class SupernodalSymbolic:
 
 
 def analyze(A: sp.spmatrix, order: str = "auto",
-            max_supernode: int = 128) -> SupernodalSymbolic:
-    """Host symbolic analysis of the SPD pattern of A."""
+            max_supernode: int = 128, relax: int = 16) -> SupernodalSymbolic:
+    """Host symbolic analysis of the SPD pattern of A.
+
+    Supernodes use *relaxed amalgamation*: column j joins the running
+    supernode when it is its elimination-tree parent and the merge adds at
+    most `relax` padded rows to the panel.  Fundamental supernodes alone
+    degenerate to width 1 on banded/chain patterns (struct(j-1) is never
+    exactly {j} ∪ struct(j)); relaxation recovers the wide dense panels
+    the MXU needs — on a banded matrix the merge is exact (zero fill) and
+    panels reach max_supernode width.
+    """
     from ..native import SparseLDL, etree as _etree, ordering, postorder
 
     A = sp.csc_matrix(A)
@@ -87,24 +96,24 @@ def analyze(A: sp.spmatrix, order: str = "auto",
     ok = fs.factorize(proxy)
     assert ok, "symbolic proxy factorization failed"
     Lp, Li, Lnz = fs.Lp, fs.Li, fs.Lnz
+    parent = np.asarray(_etree(Aperm))
 
     # column structures (strictly lower) of L
     col_rows = [np.sort(Li[Lp[j]: Lp[j] + Lnz[j]]) for j in range(n)]
 
-    # Fundamental supernodes: col j joins j-1's snode iff
-    # struct(j) == struct(j-1) \ {j} and widths stay under max_supernode.
+    # Relaxed supernode partition.  B tracks the running panel's
+    # strictly-below row set (as a python set for cheap union/diff).
     sn_start = [0]
+    B = set(int(r) for r in col_rows[0]) if n else set()
     for j in range(1, n):
-        prev = col_rows[j - 1]
-        cur = col_rows[j]
-        fundamental = (
-            prev.size == cur.size + 1
-            and prev.size > 0
-            and prev[0] == j
-            and np.array_equal(prev[1:], cur)
-        )
-        if not fundamental or (j - sn_start[-1]) >= max_supernode:
-            sn_start.append(j)
+        chain = parent[j - 1] == j and (j - sn_start[-1]) < max_supernode
+        if chain:
+            newB = (B - {j}) | set(int(r) for r in col_rows[j])
+            if len(newB) - col_rows[j].size <= relax:
+                B = newB
+                continue
+        sn_start.append(j)
+        B = set(int(r) for r in col_rows[j])
     sn_start.append(n)
 
     U = sp.triu(Aperm.tocsr(), k=0, format="csc").sorted_indices()
@@ -112,26 +121,42 @@ def analyze(A: sp.spmatrix, order: str = "auto",
     Ui = U.indices.astype(np.int32)
 
     # map column -> supernode id
+    nsn = len(sn_start) - 1
     col_sn = np.empty(n, np.int32)
+    for s in range(nsn):
+        col_sn[sn_start[s]: sn_start[s + 1]] = s
+
+    # Bottom-up row structures: a supernode's below set is the union of its
+    # member columns' structures AND its children's update rows — with
+    # amalgamated (padded) panels the update can carry rows absent from the
+    # exact parent structure, so the union is required for the extend-add
+    # maps to stay total.  Processing by ascending first column is
+    # topological (postordered etree: children's columns precede parents').
     snodes: List[Supernode] = []
-    for s in range(len(sn_start) - 1):
+    pending: List[List[int]] = [[] for _ in range(nsn)]  # child ids per snode
+    below_sets: List[np.ndarray] = [None] * nsn
+    for s in range(nsn):
         j0, j1 = sn_start[s], sn_start[s + 1]
-        col_sn[j0:j1] = s
+        rows = set()
+        for i in range(j0, j1):
+            rows.update(int(r) for r in col_rows[i])
+        for c in pending[s]:
+            rows.update(int(r) for r in below_sets[c])
+        rows.difference_update(range(j0, j1))
+        below = np.asarray(sorted(rows), np.int64)
+        below_sets[s] = below
         cols = np.arange(j0, j1)
-        # Rows strictly below the supernode = structure of its LAST column
-        # (the first column's structure still contains the later snode cols).
-        below = col_rows[j1 - 1]
-        rows = np.concatenate([cols, below]).astype(np.int64)
-        snodes.append(Supernode(cols=cols, rows=rows, parent=-1,
+        all_rows = np.concatenate([cols, below]).astype(np.int64)
+        snodes.append(Supernode(cols=cols, rows=all_rows, parent=-1,
                                 a_src=None, a_dst=None,
                                 child_ids=[], child_dst=[]))
+        if below.size:
+            p = int(col_sn[below[0]])
+            snodes[s].parent = p
+            pending[p].append(s)
 
-    # parents: first row below the supernode determines the parent snode
-    for s, sn in enumerate(snodes):
-        w = sn.cols.size
-        if sn.rows.size > w:
-            sn.parent = int(col_sn[sn.rows[w]])
-            snodes[sn.parent].child_ids.append(s)
+    for s in range(nsn):
+        snodes[s].child_ids = pending[s]
 
     # A-assembly maps.  An upper entry (i, j), i <= j, is the lower entry
     # (j, i) of column i, so it is assembled in the front of snode(i) at
@@ -317,9 +342,10 @@ class BucketedSymbolic:
 
 
 def analyze_batched(A: sp.spmatrix, order: str = "auto",
-                    max_supernode: int = 128) -> BucketedSymbolic:
+                    max_supernode: int = 128,
+                    relax: int = 16) -> BucketedSymbolic:
     """Host symbolic analysis producing the level/bucket schedule."""
-    symb = analyze(A, order=order, max_supernode=max_supernode)
+    symb = analyze(A, order=order, max_supernode=max_supernode, relax=relax)
     snodes = symb.supernodes
     nsn = len(snodes)
     n = symb.n
