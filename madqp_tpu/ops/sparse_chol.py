@@ -289,18 +289,28 @@ class DeviceSparseCholesky:
     def n_supernodes(self) -> int:
         return len(self.symb.supernodes)
 
+
 # ---------------------------------------------------------------------------
 # SPARSE_PLAN S3: level-scheduled, shape-bucketed batched numeric phase.
 #
 # The prototype above traces one dense front per supernode — compile time
 # (and XLA program size) grows linearly with the supernode count.  The
-# batched phase groups supernodes by elimination-tree level (children
-# strictly before parents) and, within a level, buckets them by padded
-# (width, update) shape; each bucket is ONE batched Cholesky + triangular
-# solve + matmul on a (L, r_pad, r_pad) tensor — MXU food, compile cost
-# O(levels x buckets).  All irregularity is precomputed host-side as flat
-# gather/scatter-add index arrays; child Schur updates flow through a
-# single flat `upd_buf` device array with static per-supernode offsets.
+# batched phase walks a SCHEDULE of two item kinds:
+#
+#   * _Bucket — supernodes of one elimination-tree level sharing a padded
+#     (width, update) shape, processed as ONE batched Cholesky/LDL +
+#     triangular solve + Schur matmul on a (L, r_pad, r_pad) tensor;
+#   * _Chain  — a maximal single-child PATH in the assembly tree with a
+#     constant padded shape, processed as ONE `lax.scan` whose carry is the
+#     running Schur update.  Without this, path-shaped etrees (banded /
+#     arrow / trajectory-QP patterns) emit one XLA stage per supernode —
+#     a 160-level chain at n=20k failed to compile in 25 minutes; as a
+#     scan it is a single stage regardless of length.
+#
+# All irregularity is precomputed host-side as static (or scan-stacked)
+# gather/scatter index arrays; cross-item Schur updates flow through a flat
+# `upd_buf` device array with static per-supernode offsets (deterministic
+# scatter-add — SURVEY §5.2's lesson, no atomics).
 # ---------------------------------------------------------------------------
 
 
@@ -327,7 +337,34 @@ class _Bucket:
     child_dst: np.ndarray    # flat scatter into fronts
     upd_src: np.ndarray      # gather from the (L*u_pad*u_pad,) update tensor
     upd_dst: np.ndarray      # scatter (set) into upd_buf
-    diag_rows: np.ndarray    # (L, w_pad) real-column mask for factor_ok
+    diag_rows: np.ndarray    # (L, w_pad) real-column mask
+
+
+@dataclasses.dataclass
+class _Chain:
+    """A single-child assembly-tree path run as one lax.scan.
+
+    Per-step stacked index arrays (first axis = chain position); the scan
+    carry is the (u_pad, u_pad) padded Schur update handed to the next
+    front.  `init_src` seeds the carry from a non-chain child's update in
+    upd_buf (scratch slot = len(upd_buf) reads 0); `final_src/dst` write
+    the last update out for the chain's parent.
+    """
+
+    w_pad: int
+    u_pad: int
+    count: int
+    cols_idx: np.ndarray     # (K, w_pad) dummy = n
+    below_idx: np.ndarray    # (K, u_pad) dummy = n
+    asm_src: np.ndarray      # (K, La) into a_values (pad: src 0 -> scratch)
+    asm_dst: np.ndarray      # (K, La) into flat front + scratch slot
+    pad_dst: np.ndarray      # (K, Lp) unit-diagonal positions (scratch-padded)
+    chain_dst: np.ndarray    # (K, Lt) carry tril pairs -> front (scratch-padded)
+    tri_src: np.ndarray      # (Lt,) static tril gather from the (u_pad^2,) carry
+    init_src: Optional[np.ndarray]   # (u_pad^2,) gather from upd_buf (+scratch)
+    final_src: Optional[np.ndarray]  # gather from padded final carry
+    final_dst: Optional[np.ndarray]  # scatter into upd_buf
+    diag_rows: np.ndarray    # (K, w_pad) real-column mask
 
 
 @dataclasses.dataclass
@@ -337,14 +374,17 @@ class BucketedSymbolic:
     iperm: np.ndarray
     Up: np.ndarray
     Ui: np.ndarray
-    levels: List[List[_Bucket]]   # levels[k] = buckets at tree level k
+    schedule: List[object]    # topologically ordered _Bucket / _Chain items
     total_upd: int
+
+
+_CHAIN_MIN = 4  # minimum path length worth a scan
 
 
 def analyze_batched(A: sp.spmatrix, order: str = "auto",
                     max_supernode: int = 128,
                     relax: int = 16) -> BucketedSymbolic:
-    """Host symbolic analysis producing the level/bucket schedule."""
+    """Host symbolic analysis producing the bucket/chain schedule."""
     symb = analyze(A, order=order, max_supernode=max_supernode, relax=relax)
     snodes = symb.supernodes
     nsn = len(snodes)
@@ -356,63 +396,113 @@ def analyze_batched(A: sp.spmatrix, order: str = "auto",
         p = snodes[s].parent
         if p >= 0:
             level[p] = max(level[p], level[s] + 1)
-    nlev = int(level.max()) + 1 if nsn else 0
 
-    # Flat update-buffer offsets (unpadded u*u blocks per supernode).
     u_sizes = np.asarray([sn.rows.size - sn.cols.size for sn in snodes])
+    w_sizes = np.asarray([sn.cols.size for sn in snodes])
+    w_pads = np.asarray([_pad_pow2(int(w)) for w in w_sizes])
+    u_pads = np.asarray([_pad_pow2(int(u)) if u else 0 for u in u_sizes])
+
     upd_off = np.zeros(nsn + 1, np.int64)
     np.cumsum(u_sizes * u_sizes, out=upd_off[1:])
     total_upd = int(upd_off[-1])
+    scratch_buf = total_upd  # read-as-zero / write-scratch slot
 
-    levels: List[List[_Bucket]] = []
+    # ---- chain extraction: maximal single-child constant-shape paths ----
+    in_chain = np.zeros(nsn, bool)
+    chains: List[List[int]] = []
+    for s in range(nsn):
+        if in_chain[s] or u_pads[s] == 0:
+            continue
+        ch = snodes[s].child_ids
+        if len(ch) > 1:
+            continue  # multi-child assembly cannot live inside a scan step
+        # Skip s when its single child will extend a chain INTO s (s is a
+        # tail element of a chain headed further down).
+        if len(ch) == 1 and not in_chain[ch[0]] \
+                and len(snodes[ch[0]].child_ids) <= 1 \
+                and (w_pads[ch[0]], u_pads[ch[0]]) == (w_pads[s], u_pads[s]) \
+                and u_pads[ch[0]] > 0:
+            continue
+        seq = [s]
+        cur = s
+        while True:
+            p = snodes[cur].parent
+            if p < 0 or snodes[p].child_ids != [cur]:
+                break
+            if (w_pads[p], u_pads[p]) != (w_pads[s], u_pads[s]):
+                break
+            if u_pads[p] == 0:
+                break
+            seq.append(p)
+            cur = p
+        if len(seq) >= _CHAIN_MIN:
+            for t in seq:
+                in_chain[t] = True
+            chains.append(seq)
+
+    # ---- helper: local-position map respecting padded update offset ----
+    def loc_of(t):
+        w = int(w_sizes[t])
+        wp = int(w_pads[t])
+        return {
+            int(g): (k if k < w else wp + (k - w))
+            for k, g in enumerate(snodes[t].rows)
+        }
+
+    # A-assembly entries per supernode, in padded-front coordinates.
+    Up, Ui = symb.Up, symb.Ui
+    col_sn = np.empty(n, np.int32)
+    for sid, sn in enumerate(snodes):
+        col_sn[sn.cols[0]: sn.cols[-1] + 1] = sid
+    asm_by_sn: List[List[tuple]] = [[] for _ in range(nsn)]
+    locmaps = [loc_of(t) for t in range(nsn)]
+    for j in range(n):
+        for p in range(Up[j], Up[j + 1]):
+            i = int(Ui[p])  # i <= j
+            sid = int(col_sn[i])
+            loc = locmaps[sid]
+            a, b = loc[j], loc[i]
+            if a < b:
+                a, b = b, a
+            asm_by_sn[sid].append((p, a, b))
+
+    schedule: List[object] = []
+
+    # ---- regular buckets, grouped per level over non-chain supernodes ----
+    nlev = int(level.max()) + 1 if nsn else 0
+    bucket_items = {}
     for lev in range(nlev):
-        members = [s for s in range(nsn) if level[s] == lev]
+        members = [s for s in range(nsn)
+                   if level[s] == lev and not in_chain[s]]
         groups: dict = {}
         for s in members:
-            sn = snodes[s]
-            w, u = sn.cols.size, sn.rows.size - sn.cols.size
-            key = (_pad_pow2(w), _pad_pow2(u) if u else 0)
-            groups.setdefault(key, []).append(s)
-        bucks = []
+            groups.setdefault((int(w_pads[s]), int(u_pads[s])), []).append(s)
         for (w_pad, u_pad), ids in sorted(groups.items()):
             r_pad = w_pad + u_pad
             L = len(ids)
             cols_idx = np.full((L, w_pad), n, np.int32)
             below_idx = np.full((L, max(u_pad, 1)), n, np.int32)
             diag_rows = np.zeros((L, w_pad), bool)
-            asm_src, asm_dst = [], []
-            pad_dst = []
+            asm_src, asm_dst, pad_dst = [], [], []
             child_src, child_dst = [], []
             upd_src, upd_dst = [], []
             for k, s in enumerate(ids):
                 sn = snodes[s]
-                w = sn.cols.size
-                u = sn.rows.size - w
+                w, u = int(w_sizes[s]), int(u_sizes[s])
                 cols_idx[k, :w] = sn.cols
                 if u:
                     below_idx[k, :u] = sn.rows[w:]
                 diag_rows[k, :w] = True
                 base = k * r_pad * r_pad
-
-                # local position map: eliminated rows keep their index,
-                # below-diagonal rows shift to the padded update block.
-                def loc(i):
-                    return i if i < w else w_pad + (i - w)
-
-                # A assembly (a_dst encodes a*r + b over the UNPADDED front)
-                r = sn.rows.size
-                for src, dflat in zip(sn.a_src, sn.a_dst):
-                    a, b = divmod(int(dflat), r)
-                    asm_src.append(int(src))
-                    asm_dst.append(base + loc(a) * r_pad + loc(b))
+                for p, a, b in asm_by_sn[s]:
+                    asm_src.append(p)
+                    asm_dst.append(base + a * r_pad + b)
                 for i in range(w, w_pad):
                     pad_dst.append(base + i * r_pad + i)
-
-                # extend-add from children (lower-triangle pairs only)
-                lmap = {int(g): loc(j) for j, g in enumerate(sn.rows)}
+                lmap = locmaps[s]
                 for c in sn.child_ids:
-                    ch = snodes[c]
-                    urows = ch.rows[ch.cols.size:]
+                    chs = snodes[c]
+                    urows = chs.rows[chs.cols.size:]
                     uc = urows.size
                     lidx = np.asarray([lmap[int(g)] for g in urows])
                     off = upd_off[c]
@@ -423,16 +513,13 @@ def analyze_batched(A: sp.spmatrix, order: str = "auto",
                                 a2, b2 = b2, a2
                             child_src.append(off + ci * uc + cj)
                             child_dst.append(base + a2 * r_pad + b2)
-
-                # update write-out: padded tensor -> flat unpadded buffer
                 ubase = k * u_pad * u_pad
                 off = upd_off[s]
                 for ci in range(u):
                     for cj in range(u):
                         upd_src.append(ubase + ci * u_pad + cj)
                         upd_dst.append(off + ci * u + cj)
-
-            bucks.append(_Bucket(
+            item = _Bucket(
                 w_pad=w_pad, u_pad=u_pad, count=L,
                 cols_idx=cols_idx, below_idx=below_idx,
                 asm_src=np.asarray(asm_src, np.int64),
@@ -443,81 +530,286 @@ def analyze_batched(A: sp.spmatrix, order: str = "auto",
                 upd_src=np.asarray(upd_src, np.int64),
                 upd_dst=np.asarray(upd_dst, np.int64),
                 diag_rows=diag_rows,
-            ))
-        levels.append(bucks)
+            )
+            bucket_items.setdefault(lev, []).append(item)
+
+    # ---- chain records ----
+    chain_items = []
+    for seq in chains:
+        s0 = seq[0]
+        w_pad, u_pad = int(w_pads[s0]), int(u_pads[s0])
+        r_pad = w_pad + u_pad
+        scratch_f = r_pad * r_pad
+        K = len(seq)
+        tri_pairs = [(ci, cj) for ci in range(u_pad) for cj in range(ci + 1)]
+        tri_src = np.asarray([ci * u_pad + cj for ci, cj in tri_pairs],
+                             np.int64)
+        La = max(len(asm_by_sn[s]) for s in seq)
+        Lp = max(int(w_pads[s]) - int(w_sizes[s]) for s in seq)
+        asm_src = np.zeros((K, max(La, 1)), np.int64)
+        asm_dst = np.full((K, max(La, 1)), scratch_f, np.int64)
+        pad_dst = np.full((K, max(Lp, 1)), scratch_f, np.int64)
+        chain_dst = np.full((K, max(len(tri_pairs), 1)), scratch_f, np.int64)
+        cols_idx = np.full((K, w_pad), n, np.int32)
+        below_idx = np.full((K, max(u_pad, 1)), n, np.int32)
+        diag_rows = np.zeros((K, w_pad), bool)
+        for k, s in enumerate(seq):
+            sn = snodes[s]
+            w, u = int(w_sizes[s]), int(u_sizes[s])
+            cols_idx[k, :w] = sn.cols
+            below_idx[k, :u] = sn.rows[w:]
+            diag_rows[k, :w] = True
+            for e, (p, a, b) in enumerate(asm_by_sn[s]):
+                asm_src[k, e] = p
+                asm_dst[k, e] = a * r_pad + b
+            for e, i in enumerate(range(w, w_pad)):
+                pad_dst[k, e] = i * r_pad + i
+            # carry extend-add: predecessor's update rows -> this front
+            pred = seq[k - 1] if k else (sn.child_ids[0] if sn.child_ids
+                                         else None)
+            if pred is not None:
+                urows = snodes[pred].rows[snodes[pred].cols.size:]
+                u_prev = urows.size
+                lmap = locmaps[s]
+                lidx = np.asarray([lmap[int(g)] for g in urows])
+                for e, (ci, cj) in enumerate(tri_pairs):
+                    if ci < u_prev and cj < u_prev:
+                        a2, b2 = lidx[ci], lidx[cj]
+                        if a2 < b2:
+                            a2, b2 = b2, a2
+                        chain_dst[k, e] = a2 * r_pad + b2
+        # init carry from the head's (single, non-chain) child, if any
+        head_children = snodes[s0].child_ids
+        assert len(head_children) <= 1
+        init_src = None
+        if head_children:
+            c0 = head_children[0]
+            u0 = int(u_sizes[c0])
+            assert u0 <= u_pad, "chain head child update exceeds carry pad"
+            init_src = np.full(u_pad * u_pad, scratch_buf, np.int64)
+            for ci in range(u0):
+                for cj in range(u0):
+                    init_src[ci * u_pad + cj] = upd_off[c0] + ci * u0 + cj
+        # final update write-out, if the chain's root has a parent
+        s_last = seq[-1]
+        final_src = final_dst = None
+        if snodes[s_last].parent >= 0:
+            uK = int(u_sizes[s_last])
+            final_src = np.asarray(
+                [ci * u_pad + cj for ci in range(uK) for cj in range(uK)],
+                np.int64)
+            final_dst = upd_off[s_last] + np.arange(uK * uK, dtype=np.int64)
+        chain_items.append((int(level[s0]), _Chain(
+            w_pad=w_pad, u_pad=u_pad, count=K,
+            cols_idx=cols_idx, below_idx=below_idx,
+            asm_src=asm_src, asm_dst=asm_dst, pad_dst=pad_dst,
+            chain_dst=chain_dst, tri_src=tri_src,
+            init_src=init_src, final_src=final_src, final_dst=final_dst,
+            diag_rows=diag_rows,
+        )))
+
+    # ---- schedule: ascending by level of first element ----
+    for lev in range(nlev):
+        schedule.extend(bucket_items.get(lev, []))
+        for lv, ch in chain_items:
+            if lv == lev:
+                schedule.append(ch)
 
     return BucketedSymbolic(
         n=n, perm=symb.perm, iperm=symb.iperm, Up=symb.Up, Ui=symb.Ui,
-        levels=levels, total_upd=total_upd,
+        schedule=schedule, total_upd=total_upd,
     )
 
 
+def _assemble_bucket(bk: _Bucket, a_values, upd_buf, dtype):
+    Lb, w_pad, u_pad = bk.count, bk.w_pad, bk.u_pad
+    r_pad = w_pad + u_pad
+    F = jnp.zeros((Lb * r_pad * r_pad,), dtype)
+    F = F.at[bk.asm_dst].add(a_values[bk.asm_src].astype(dtype))
+    if bk.pad_dst.size:
+        F = F.at[bk.pad_dst].add(jnp.ones((bk.pad_dst.size,), dtype))
+    if bk.child_src.size:
+        F = F.at[bk.child_dst].add(upd_buf[bk.child_src])
+    F = F.reshape(Lb, r_pad, r_pad)
+    return jnp.tril(F) + jnp.tril(F, -1).transpose(0, 2, 1)
+
+
+def _chain_scan(ch: _Chain, a_values, upd_buf, dtype, ldl: bool):
+    """Run one chain as a lax.scan; returns (panels, d or None, upd_buf)."""
+    w_pad, u_pad = ch.w_pad, ch.u_pad
+    r_pad = w_pad + u_pad
+    if ch.init_src is not None:
+        buf_ext = jnp.concatenate([upd_buf, jnp.zeros((1,), dtype)])
+        U0 = buf_ext[ch.init_src].reshape(u_pad, u_pad)
+    else:
+        U0 = jnp.zeros((u_pad, u_pad), dtype)
+
+    def step(U_prev, xs):
+        a_s, a_d, p_d, c_d = xs
+        F = jnp.zeros((r_pad * r_pad + 1,), dtype)
+        F = F.at[a_d].add(a_values[a_s].astype(dtype))
+        F = F.at[p_d].add(jnp.ones(p_d.shape, dtype))
+        F = F.at[c_d].add(U_prev.reshape(-1)[ch.tri_src])
+        F = F[:-1].reshape(r_pad, r_pad)
+        F = jnp.tril(F) + jnp.tril(F, -1).T
+        if ldl:
+            L11, d = dense_ldl(F[:w_pad, :w_pad])
+            # Z = F21 L11^{-T}  (Z' = L11^{-1} F21')
+            Z = jsl.solve_triangular(
+                L11, F[w_pad:, :w_pad].T, lower=True,
+                unit_diagonal=True).T
+            L21 = Z / d[None, :]
+            U = F[w_pad:, w_pad:] - Z @ L21.T
+            return U, (jnp.concatenate([L11, L21], axis=0), d)
+        L11 = jsl.cholesky(F[:w_pad, :w_pad], lower=True)
+        L21 = jsl.solve_triangular(L11, F[w_pad:, :w_pad].T, lower=True).T
+        U = F[w_pad:, w_pad:] - L21 @ L21.T
+        return U, (jnp.concatenate([L11, L21], axis=0), None)
+
+    xs = (ch.asm_src, ch.asm_dst, ch.pad_dst, ch.chain_dst)
+    Ufin, (panels, dvec) = jax.lax.scan(step, U0, xs)
+    if ch.final_dst is not None:
+        upd_buf = upd_buf.at[ch.final_dst].set(
+            Ufin.reshape(-1)[ch.final_src])
+    return panels, dvec, upd_buf
+
+
+def _chain_solve_fwd(ch: _Chain, panels, x, n):
+    w_pad, u_pad = ch.w_pad, ch.u_pad
+
+    def fstep(x, xs):
+        ci, bi, P = xs
+        xj = jsl.solve_triangular(P[:w_pad, :], x[ci], lower=True,
+                                  unit_diagonal=False)
+        x = x.at[ci].set(xj)
+        x = x.at[bi].add(-(P[w_pad:, :] @ xj))
+        x = x.at[n].set(0.0)
+        return x, None
+
+    x, _ = jax.lax.scan(fstep, x, (ch.cols_idx, ch.below_idx, panels))
+    return x
+
+
+def _chain_solve_bwd(ch: _Chain, panels, x, n):
+    w_pad, u_pad = ch.w_pad, ch.u_pad
+
+    def bstep(x, xs):
+        ci, bi, P = xs
+        rhs = x[ci] - P[w_pad:, :].T @ x[bi]
+        xj = jsl.solve_triangular(P[:w_pad, :].T, rhs, lower=False,
+                                  unit_diagonal=False)
+        x = x.at[ci].set(xj)
+        x = x.at[n].set(0.0)
+        return x, None
+
+    x, _ = jax.lax.scan(bstep, x, (ch.cols_idx, ch.below_idx, panels),
+                        reverse=True)
+    return x
+
+
+def _chain_solve_fwd_unit(ch: _Chain, panels, x, n):
+    w_pad = ch.w_pad
+
+    def fstep(x, xs):
+        ci, bi, P = xs
+        xj = jsl.solve_triangular(P[:w_pad, :], x[ci], lower=True,
+                                  unit_diagonal=True)
+        x = x.at[ci].set(xj)
+        x = x.at[bi].add(-(P[w_pad:, :] @ xj))
+        x = x.at[n].set(0.0)
+        return x, None
+
+    x, _ = jax.lax.scan(fstep, x, (ch.cols_idx, ch.below_idx, panels))
+    return x
+
+
+def _chain_solve_bwd_unit(ch: _Chain, panels, x, n):
+    w_pad = ch.w_pad
+
+    def bstep(x, xs):
+        ci, bi, P = xs
+        rhs = x[ci] - P[w_pad:, :].T @ x[bi]
+        xj = jsl.solve_triangular(P[:w_pad, :].T, rhs, lower=False,
+                                  unit_diagonal=True)
+        x = x.at[ci].set(xj)
+        x = x.at[n].set(0.0)
+        return x, None
+
+    x, _ = jax.lax.scan(bstep, x, (ch.cols_idx, ch.below_idx, panels),
+                        reverse=True)
+    return x
+
+
 def factorize_batched(bs: BucketedSymbolic, a_values):
-    """Batched numeric factorization.  Returns panels: one (L, r_pad, w_pad)
-    array per bucket, in level-major order (a flat pytree list)."""
+    """Batched numeric Cholesky over the schedule.  Returns panels: one
+    array per schedule item — (L, r_pad, w_pad) for buckets, (K, r_pad,
+    w_pad) for chains (a flat pytree list)."""
     dtype = a_values.dtype
     upd_buf = jnp.zeros((bs.total_upd,), dtype)
     panels = []
-    for bucks in bs.levels:
-        new_chunks = []
-        for bk in bucks:
-            Lb, w_pad, u_pad = bk.count, bk.w_pad, bk.u_pad
-            r_pad = w_pad + u_pad
-            F = jnp.zeros((Lb * r_pad * r_pad,), dtype)
-            F = F.at[bk.asm_dst].add(a_values[bk.asm_src])
-            if bk.pad_dst.size:
-                F = F.at[bk.pad_dst].add(jnp.ones((bk.pad_dst.size,), dtype))
-            if bk.child_src.size:
-                F = F.at[bk.child_dst].add(upd_buf[bk.child_src])
-            F = F.reshape(Lb, r_pad, r_pad)
-            F = jnp.tril(F) + jnp.tril(F, -1).transpose(0, 2, 1)
-            L11 = jnp.linalg.cholesky(F[:, :w_pad, :w_pad])
-            if u_pad:
-                L21 = jax.lax.linalg.triangular_solve(
-                    L11, F[:, w_pad:, :w_pad], left_side=False,
-                    lower=True, transpose_a=True,
-                )
-                U = F[:, w_pad:, w_pad:] - L21 @ L21.transpose(0, 2, 1)
-                new_chunks.append((bk, U))
-                panels.append(jnp.concatenate([L11, L21], axis=1))
-            else:
-                panels.append(L11)
-        # write updates after the whole level (siblings never conflict, but
-        # batching order inside the level is irrelevant anyway)
-        for bk, U in new_chunks:
-            upd_buf = upd_buf.at[bk.upd_dst].set(U.reshape(-1)[bk.upd_src])
+    for item in bs.schedule:
+        if isinstance(item, _Chain):
+            P, _, upd_buf = _chain_scan(item, a_values, upd_buf, dtype,
+                                        ldl=False)
+            panels.append(P)
+            continue
+        bk = item
+        w_pad, u_pad = bk.w_pad, bk.u_pad
+        F = _assemble_bucket(bk, a_values, upd_buf, dtype)
+        L11 = jnp.linalg.cholesky(F[:, :w_pad, :w_pad])
+        if u_pad:
+            L21 = jax.lax.linalg.triangular_solve(
+                L11, F[:, w_pad:, :w_pad], left_side=False,
+                lower=True, transpose_a=True,
+            )
+            U = F[:, w_pad:, w_pad:] - L21 @ L21.transpose(0, 2, 1)
+            panels.append(jnp.concatenate([L11, L21], axis=1))
+            if bk.upd_dst.size:
+                upd_buf = upd_buf.at[bk.upd_dst].set(
+                    U.reshape(-1)[bk.upd_src])
+        else:
+            panels.append(L11)
     return panels
 
 
 def solve_batched(bs: BucketedSymbolic, panels, b):
     """Level-scheduled batched triangular solves: L y = b, then L' x = y."""
     x = jnp.concatenate([jnp.asarray(b)[bs.perm], jnp.zeros((1,), b.dtype)])
-    flat = [bk for bucks in bs.levels for bk in bucks]
+    n = bs.n
     # forward
-    for bk, P in zip(flat, panels):
+    for item, P in zip(bs.schedule, panels):
+        if isinstance(item, _Chain):
+            x = _chain_solve_fwd(item, P, x, n)
+            continue
+        bk = item
         w_pad, u_pad = bk.w_pad, bk.u_pad
-        xj = x[bk.cols_idx]                              # (L, w_pad)
         xj = jax.lax.linalg.triangular_solve(
-            P[:, :w_pad, :], xj[..., None], left_side=True, lower=True,
+            P[:, :w_pad, :], x[bk.cols_idx][..., None], left_side=True,
+            lower=True,
         )[..., 0]
         x = x.at[bk.cols_idx.reshape(-1)].set(xj.reshape(-1))
         if u_pad:
-            y = (P[:, w_pad:, :] @ xj[..., None])[..., 0]  # (L, u_pad)
+            y = (P[:, w_pad:, :] @ xj[..., None])[..., 0]
             x = x.at[bk.below_idx.reshape(-1)].add(-y.reshape(-1))
-        x = x.at[bs.n].set(0.0)
+        x = x.at[n].set(0.0)
     # backward
-    for bk, P in zip(flat[::-1], panels[::-1]):
+    for item, P in zip(bs.schedule[::-1], panels[::-1]):
+        if isinstance(item, _Chain):
+            x = _chain_solve_bwd(item, P, x, n)
+            continue
+        bk = item
         w_pad, u_pad = bk.w_pad, bk.u_pad
         rhs = x[bk.cols_idx]
         if u_pad:
-            xb = x[bk.below_idx]                          # (L, u_pad)
-            rhs = rhs - (P[:, w_pad:, :].transpose(0, 2, 1) @ xb[..., None])[..., 0]
+            xb = x[bk.below_idx]
+            rhs = rhs - (P[:, w_pad:, :].transpose(0, 2, 1)
+                         @ xb[..., None])[..., 0]
         xj = jax.lax.linalg.triangular_solve(
             P[:, :w_pad, :], rhs[..., None], left_side=True, lower=True,
             transpose_a=True,
         )[..., 0]
         x = x.at[bk.cols_idx.reshape(-1)].set(xj.reshape(-1))
-        x = x.at[bs.n].set(0.0)
+        x = x.at[n].set(0.0)
     return x[:-1][bs.iperm]
 
 
@@ -530,9 +822,10 @@ def factor_ok_batched(panels) -> jax.Array:
         ok = ok & jnp.all(jnp.isfinite(d)) & jnp.all(d > 0)
     return ok
 
+
 # ---------------------------------------------------------------------------
-# Signed LDL^T numeric phase over the same bucketed symbolic: factorizes
-# symmetric QUASI-DEFINITE matrices (reference SURVEY §7.3 #1: "emulate
+# Signed LDL^T numeric phase over the same schedule: factorizes symmetric
+# QUASI-DEFINITE matrices (reference SURVEY §7.3 #1: "emulate
 # [Bunch-Kaufman] via regularized quasi-definite LDL^T — signed diagonal,
 # no pivoting").  This is what the augmented KKT [W A'; A dc I] needs: W
 # block positive, dual block negative, both kept away from zero by the
@@ -567,43 +860,41 @@ def dense_ldl(F):
 
 
 def factorize_batched_ldl(bs: BucketedSymbolic, a_values):
-    """Batched supernodal LDL^T.  Returns (panels, dvecs, dglob): per-bucket
-    unit-lower panels (L, r_pad, w_pad), pivot vectors (L, w_pad), and the
-    global pivot vector in permuted order (n+1, last slot dummy 1)."""
+    """Batched supernodal LDL^T over the schedule.  Returns (panels, dvecs,
+    dglob): per-item unit-lower panels, pivot vectors, and the global pivot
+    vector in permuted order (n+1, last slot dummy 1)."""
     dtype = a_values.dtype
     upd_buf = jnp.zeros((bs.total_upd,), dtype)
     dglob = jnp.ones((bs.n + 1,), dtype)
     panels, dvecs = [], []
-    for bucks in bs.levels:
-        new_chunks = []
-        for bk in bucks:
-            Lb, w_pad, u_pad = bk.count, bk.w_pad, bk.u_pad
-            r_pad = w_pad + u_pad
-            F = jnp.zeros((Lb * r_pad * r_pad,), dtype)
-            F = F.at[bk.asm_dst].add(a_values[bk.asm_src])
-            if bk.pad_dst.size:
-                F = F.at[bk.pad_dst].add(jnp.ones((bk.pad_dst.size,), dtype))
-            if bk.child_src.size:
-                F = F.at[bk.child_dst].add(upd_buf[bk.child_src])
-            F = F.reshape(Lb, r_pad, r_pad)
-            F = jnp.tril(F) + jnp.tril(F, -1).transpose(0, 2, 1)
-            L11, d = dense_ldl(F[:, :w_pad, :w_pad])
-            dglob = dglob.at[bk.cols_idx.reshape(-1)].set(d.reshape(-1))
+    for item in bs.schedule:
+        if isinstance(item, _Chain):
+            P, d, upd_buf = _chain_scan(item, a_values, upd_buf, dtype,
+                                        ldl=True)
+            panels.append(P)
             dvecs.append(d)
-            if u_pad:
-                # Z = F21 L11^{-T};  L21 = Z / d;  U = F22 - Z diag(1/d) Z'
-                Z = jax.lax.linalg.triangular_solve(
-                    L11, F[:, w_pad:, :w_pad], left_side=False,
-                    lower=True, transpose_a=True, unit_diagonal=True,
-                )
-                L21 = Z / d[:, None, :]
-                U = F[:, w_pad:, w_pad:] - Z @ L21.transpose(0, 2, 1)
-                new_chunks.append((bk, U))
-                panels.append(jnp.concatenate([L11, L21], axis=1))
-            else:
-                panels.append(L11)
-        for bk, U in new_chunks:
-            upd_buf = upd_buf.at[bk.upd_dst].set(U.reshape(-1)[bk.upd_src])
+            dglob = dglob.at[item.cols_idx.reshape(-1)].set(d.reshape(-1))
+            continue
+        bk = item
+        w_pad, u_pad = bk.w_pad, bk.u_pad
+        F = _assemble_bucket(bk, a_values, upd_buf, dtype)
+        L11, d = dense_ldl(F[:, :w_pad, :w_pad])
+        dglob = dglob.at[bk.cols_idx.reshape(-1)].set(d.reshape(-1))
+        dvecs.append(d)
+        if u_pad:
+            # Z = F21 L11^{-T};  L21 = Z / d;  U = F22 - Z diag(1/d) Z'
+            Z = jax.lax.linalg.triangular_solve(
+                L11, F[:, w_pad:, :w_pad], left_side=False,
+                lower=True, transpose_a=True, unit_diagonal=True,
+            )
+            L21 = Z / d[:, None, :]
+            U = F[:, w_pad:, w_pad:] - Z @ L21.transpose(0, 2, 1)
+            panels.append(jnp.concatenate([L11, L21], axis=1))
+            if bk.upd_dst.size:
+                upd_buf = upd_buf.at[bk.upd_dst].set(
+                    U.reshape(-1)[bk.upd_src])
+        else:
+            panels.append(L11)
     dglob = dglob.at[bs.n].set(1.0)
     return panels, dvecs, dglob
 
@@ -613,8 +904,12 @@ def solve_batched_ldl(bs: BucketedSymbolic, factors, b):
     lower, level-scheduled), z /= d, L' x = z."""
     panels, _, dglob = factors
     x = jnp.concatenate([jnp.asarray(b)[bs.perm], jnp.zeros((1,), b.dtype)])
-    flat = [bk for bucks in bs.levels for bk in bucks]
-    for bk, P in zip(flat, panels):
+    n = bs.n
+    for item, P in zip(bs.schedule, panels):
+        if isinstance(item, _Chain):
+            x = _chain_solve_fwd_unit(item, P, x, n)
+            continue
+        bk = item
         w_pad, u_pad = bk.w_pad, bk.u_pad
         xj = jax.lax.linalg.triangular_solve(
             P[:, :w_pad, :], x[bk.cols_idx][..., None], left_side=True,
@@ -624,31 +919,33 @@ def solve_batched_ldl(bs: BucketedSymbolic, factors, b):
         if u_pad:
             y = (P[:, w_pad:, :] @ xj[..., None])[..., 0]
             x = x.at[bk.below_idx.reshape(-1)].add(-y.reshape(-1))
-        x = x.at[bs.n].set(0.0)
+        x = x.at[n].set(0.0)
     x = x / dglob
-    for bk, P in zip(flat[::-1], panels[::-1]):
+    for item, P in zip(bs.schedule[::-1], panels[::-1]):
+        if isinstance(item, _Chain):
+            x = _chain_solve_bwd_unit(item, P, x, n)
+            continue
+        bk = item
         w_pad, u_pad = bk.w_pad, bk.u_pad
         rhs = x[bk.cols_idx]
         if u_pad:
             xb = x[bk.below_idx]
-            rhs = rhs - (P[:, w_pad:, :].transpose(0, 2, 1) @ xb[..., None])[..., 0]
+            rhs = rhs - (P[:, w_pad:, :].transpose(0, 2, 1)
+                         @ xb[..., None])[..., 0]
         xj = jax.lax.linalg.triangular_solve(
             P[:, :w_pad, :], rhs[..., None], left_side=True, lower=True,
             transpose_a=True, unit_diagonal=True,
         )[..., 0]
         x = x.at[bk.cols_idx.reshape(-1)].set(xj.reshape(-1))
-        x = x.at[bs.n].set(0.0)
+        x = x.at[n].set(0.0)
     return x[:-1][bs.iperm]
 
 
 def bucket_signs(bs: BucketedSymbolic, signs: np.ndarray) -> List[np.ndarray]:
-    """Expected pivot signs per bucket column (original order -> buckets);
-    padding columns expect +1.  Host-side, once per pattern."""
+    """Expected pivot signs per schedule-item column (original order ->
+    padded layout); padding columns expect +1.  Host-side, once."""
     sp_perm = np.concatenate([np.asarray(signs)[bs.perm], [1.0]])
-    return [
-        sp_perm[bk.cols_idx]
-        for bucks in bs.levels for bk in bucks
-    ]
+    return [sp_perm[item.cols_idx] for item in bs.schedule]
 
 
 def factor_ok_batched_ldl(factors, expected_signs) -> jax.Array:

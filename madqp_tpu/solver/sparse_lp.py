@@ -127,14 +127,18 @@ class DeviceSparseNormalKKT:
                     pair_q.append(bq)
                     pair_k.append(k)
                     pair_e.append(pos[(jb, ia)])
-        self.pair_p = jnp.asarray(np.asarray(pair_p, np.int32))
-        self.pair_q = jnp.asarray(np.asarray(pair_q, np.int32))
-        self.pair_k = jnp.asarray(np.asarray(pair_k, np.int32))
-        self.pair_e = jnp.asarray(np.asarray(pair_e, np.int32))
+        # NOTE: all symbolic index arrays stay NUMPY (host constants folded
+        # at compile).  jnp.asarray here would place them on the accelerator
+        # and every trace/lower would read them back — through the remote
+        # TPU tunnel that serializes into a multi-minute stall.
+        self.pair_p = np.asarray(pair_p, np.int32)
+        self.pair_q = np.asarray(pair_q, np.int32)
+        self.pair_k = np.asarray(pair_k, np.int32)
+        self.pair_e = np.asarray(pair_e, np.int32)
         self.nnz_up = int(S_up.nnz)
         # diagonal positions in the upper-CSC value array (for -del_c I)
         diag_pos = np.asarray([pos[(j, j)] for j in range(m)], np.int32)
-        self.diag_pos = jnp.asarray(diag_pos)
+        self.diag_pos = diag_pos
 
         # Supernodal symbolic over the S pattern; we feed values directly in
         # the symbolic's permuted upper-CSC order via a static gather.
@@ -160,7 +164,7 @@ class DeviceSparseNormalKKT:
                 gi = int(perm[int(Ui[p])])
                 a, bb = (gi, gj) if gi <= gj else (gj, gi)
                 gmap[p] = pos[(a, bb)]
-        self.value_gather = jnp.asarray(gmap)
+        self.value_gather = gmap
 
     def factorize(self, prob: SparseLPProblem, pr_diag, del_c):
         if prob.H is not None:

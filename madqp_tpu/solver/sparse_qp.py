@@ -145,13 +145,15 @@ class DeviceSparseAugmentedKKT:
         for r, cidx, v in zip(self.coo_rows, self.coo_cols, self.coo_vals):
             # lower entry (n + r, c) -> upper key (c, n + r)
             base[pos[(int(cidx), n + int(r))]] += v
-        self._base = jnp.asarray(base)
+        # Symbolic constants stay NUMPY (see sparse_lp: device-resident
+        # constants stall trace/lower through the remote TPU tunnel).
+        self._base = base
 
-        self.wdiag_pos = jnp.asarray(
-            np.asarray([pos[(j, j)] for j in range(n)], np.int32)
+        self.wdiag_pos = np.asarray(
+            [pos[(j, j)] for j in range(n)], np.int32
         )
-        self.ddiag_pos = jnp.asarray(
-            np.asarray([pos[(n + i, n + i)] for i in range(m)], np.int32)
+        self.ddiag_pos = np.asarray(
+            [pos[(n + i, n + i)] for i in range(m)], np.int32
         )
 
         # Supernodal symbolic + value gather (permuted order) + signs.
@@ -165,14 +167,12 @@ class DeviceSparseAugmentedKKT:
                 gi = int(perm[int(Ui[p])])
                 a, b = (gi, gj) if gi <= gj else (gj, gi)
                 gmap[p] = pos[(a, b)]
-        self.value_gather = jnp.asarray(gmap)
+        self.value_gather = gmap
         signs = np.concatenate([np.ones(n), -np.ones(m)])
-        self.expected_signs = [
-            jnp.asarray(s) for s in SC.bucket_signs(self.bs, signs)
-        ]
+        self.expected_signs = SC.bucket_signs(self.bs, signs)
 
     def factorize(self, prob: SparseQPProblem, pr_diag, del_c):
-        kv = self._base.astype(pr_diag.dtype)
+        kv = jnp.asarray(self._base, pr_diag.dtype)
         kv = kv.at[self.wdiag_pos].add(pr_diag)
         kv = kv.at[self.ddiag_pos].add(del_c)
         kv = kv[self.value_gather]

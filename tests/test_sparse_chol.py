@@ -75,3 +75,59 @@ class TestNumeric:
         np.testing.assert_allclose(
             x, np.linalg.solve(A.toarray(), b), rtol=1e-9, atol=1e-10
         )
+
+
+def test_chain_schedule_banded():
+    """Path-shaped etrees must collapse into lax.scan chains (compile cost
+    O(1) in chain length), with exact results."""
+    import numpy as np
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from madqp_tpu.ops import sparse_chol as SC
+
+    rng = np.random.default_rng(0)
+    m, half = 2000, 3
+    offs = list(range(-half, half + 1))
+    d = [np.full(m - abs(k), 1.0 if k else 4.0 * half) for k in offs]
+    A = sp.diags(d, offsets=offs, format="csc")
+    bs = SC.analyze_batched(A, order="rcm")
+    n_chain = sum(1 for it in bs.schedule if isinstance(it, SC._Chain))
+    assert n_chain >= 1
+    assert len(bs.schedule) <= 4  # chain + root, not O(m/128) levels
+    symb = SC.analyze(A, order="rcm")
+    panels = SC.factorize_batched(bs, jnp.asarray(symb.permute_values(A)))
+    assert bool(SC.factor_ok_batched(panels))
+    b = rng.standard_normal(m)
+    x = np.asarray(SC.solve_batched(bs, panels, jnp.asarray(b)))
+    assert np.abs(A @ x - b).max() < 1e-8
+
+
+def test_chain_schedule_ldl_quasidefinite():
+    import numpy as np
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from madqp_tpu.ops import sparse_chol as SC
+
+    rng = np.random.default_rng(1)
+    n, m = 800, 400
+    rows, cols, vals = [], [], []
+    for i in range(m):
+        for k in range(3):
+            j = min(2 * i + k, n - 1)
+            rows.append(i)
+            cols.append(j)
+            vals.append(rng.uniform(0.5, 2.0))
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsc()
+    A.sum_duplicates()
+    W = sp.diags(rng.uniform(0.5, 2.0, n))
+    K = sp.bmat([[W, A.T], [A, -1e-4 * sp.eye(m)]], format="csc")
+    K.sum_duplicates()
+    bs = SC.analyze_batched(K, order="auto")
+    assert any(isinstance(it, SC._Chain) for it in bs.schedule)
+    symb = SC.analyze(K, order="auto")
+    f = SC.factorize_batched_ldl(bs, jnp.asarray(symb.permute_values(K)))
+    es = SC.bucket_signs(bs, np.concatenate([np.ones(n), -np.ones(m)]))
+    assert bool(SC.factor_ok_batched_ldl(f, es))
+    b = rng.standard_normal(n + m)
+    x = np.asarray(SC.solve_batched_ldl(bs, f, jnp.asarray(b)))
+    assert np.abs(K @ x - b).max() < 1e-6
