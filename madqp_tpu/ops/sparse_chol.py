@@ -634,7 +634,8 @@ def _assemble_bucket(bk: _Bucket, a_values, upd_buf, dtype):
     return jnp.tril(F) + jnp.tril(F, -1).transpose(0, 2, 1)
 
 
-def _chain_scan(ch: _Chain, a_values, upd_buf, dtype, ldl: bool):
+def _chain_scan(ch: _Chain, a_values, upd_buf, dtype, ldl: bool,
+                sgn=None, pivot_floor: float = 0.0):
     """Run one chain as a lax.scan; returns (panels, d or None, upd_buf)."""
     w_pad, u_pad = ch.w_pad, ch.u_pad
     r_pad = w_pad + u_pad
@@ -645,7 +646,7 @@ def _chain_scan(ch: _Chain, a_values, upd_buf, dtype, ldl: bool):
         U0 = jnp.zeros((u_pad, u_pad), dtype)
 
     def step(U_prev, xs):
-        a_s, a_d, p_d, c_d = xs
+        a_s, a_d, p_d, c_d, sg = xs
         F = jnp.zeros((r_pad * r_pad + 1,), dtype)
         F = F.at[a_d].add(a_values[a_s].astype(dtype))
         F = F.at[p_d].add(jnp.ones(p_d.shape, dtype))
@@ -653,7 +654,7 @@ def _chain_scan(ch: _Chain, a_values, upd_buf, dtype, ldl: bool):
         F = F[:-1].reshape(r_pad, r_pad)
         F = jnp.tril(F) + jnp.tril(F, -1).T
         if ldl:
-            L11, d = dense_ldl(F[:w_pad, :w_pad])
+            L11, d = dense_ldl(F[:w_pad, :w_pad], sgn=sg, floor=pivot_floor)
             # Z = F21 L11^{-T}  (Z' = L11^{-1} F21')
             Z = jsl.solve_triangular(
                 L11, F[w_pad:, :w_pad].T, lower=True,
@@ -666,7 +667,9 @@ def _chain_scan(ch: _Chain, a_values, upd_buf, dtype, ldl: bool):
         U = F[w_pad:, w_pad:] - L21 @ L21.T
         return U, (jnp.concatenate([L11, L21], axis=0), None)
 
-    xs = (ch.asm_src, ch.asm_dst, ch.pad_dst, ch.chain_dst)
+    sgn_rows = (jnp.asarray(sgn, dtype) if sgn is not None
+                else jnp.ones((ch.count, w_pad), dtype))
+    xs = (ch.asm_src, ch.asm_dst, ch.pad_dst, ch.chain_dst, sgn_rows)
     Ufin, (panels, dvec) = jax.lax.scan(step, U0, xs)
     if ch.final_dst is not None:
         upd_buf = upd_buf.at[ch.final_dst].set(
@@ -835,16 +838,24 @@ def factor_ok_batched(panels) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def dense_ldl(F):
+def dense_ldl(F, sgn=None, floor: float = 0.0):
     """No-pivot LDL^T of (..., w, w) symmetric matrices: F = L D L' with L
     unit lower triangular.  Sequential over columns (w is a supernode panel
-    width, <= max_supernode); everything else stays batched."""
+    width, <= max_supernode); everything else stays batched.
+
+    With `sgn` ((..., w) expected pivot signs) and `floor` > 0, pivots are
+    perturbed to sgn * max(sgn * d, floor) — the cuDSS-style pivot
+    perturbation that keeps a quasi-definite f32 factorization usable near
+    convergence; iterative refinement absorbs the perturbation."""
     w = F.shape[-1]
     idx = jnp.arange(w)
 
     def body(j, carry):
         F, L, d = carry
         dj = F[..., j, j]
+        if sgn is not None and floor > 0.0:
+            sj = sgn[..., j]
+            dj = sj * jnp.maximum(sj * dj, jnp.asarray(floor, F.dtype))
         col = F[..., :, j] / dj[..., None]
         col = jnp.where(idx > j, col, 0.0)
         F = F - dj[..., None, None] * col[..., :, None] * col[..., None, :]
@@ -859,18 +870,26 @@ def dense_ldl(F):
     return L, d
 
 
-def factorize_batched_ldl(bs: BucketedSymbolic, a_values):
+def factorize_batched_ldl(bs: BucketedSymbolic, a_values, signs=None,
+                          pivot_floor: float = 0.0):
     """Batched supernodal LDL^T over the schedule.  Returns (panels, dvecs,
     dglob): per-item unit-lower panels, pivot vectors, and the global pivot
-    vector in permuted order (n+1, last slot dummy 1)."""
+    vector in permuted order (n+1, last slot dummy 1).
+
+    `signs` (the bucket_signs list) + `pivot_floor` > 0 enable sign-directed
+    pivot perturbation (see dense_ldl)."""
     dtype = a_values.dtype
     upd_buf = jnp.zeros((bs.total_upd,), dtype)
     dglob = jnp.ones((bs.n + 1,), dtype)
     panels, dvecs = [], []
-    for item in bs.schedule:
+    for i, item in enumerate(bs.schedule):
+        sgn = None
+        if signs is not None and pivot_floor > 0.0:
+            sgn = np.asarray(signs[i], np.float64)
         if isinstance(item, _Chain):
             P, d, upd_buf = _chain_scan(item, a_values, upd_buf, dtype,
-                                        ldl=True)
+                                        ldl=True, sgn=sgn,
+                                        pivot_floor=pivot_floor)
             panels.append(P)
             dvecs.append(d)
             dglob = dglob.at[item.cols_idx.reshape(-1)].set(d.reshape(-1))
@@ -878,7 +897,9 @@ def factorize_batched_ldl(bs: BucketedSymbolic, a_values):
         bk = item
         w_pad, u_pad = bk.w_pad, bk.u_pad
         F = _assemble_bucket(bk, a_values, upd_buf, dtype)
-        L11, d = dense_ldl(F[:, :w_pad, :w_pad])
+        L11, d = dense_ldl(F[:, :w_pad, :w_pad],
+                           sgn=None if sgn is None else jnp.asarray(sgn, dtype),
+                           floor=pivot_floor)
         dglob = dglob.at[bk.cols_idx.reshape(-1)].set(d.reshape(-1))
         dvecs.append(d)
         if u_pad:

@@ -280,7 +280,13 @@ class HostMPCSolver:
     # -- main loop ----------------------------------------------------------
 
     def solve(self) -> ExecutionStats:
-        cpu = jax.devices("cpu")[0]
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            # Some accelerator plugins (the axon TPU tunnel) expose no cpu
+            # backend; the host path's jax work is tiny elementwise math,
+            # so running it on the default device is acceptable.
+            return self._solve_impl()
         with jax.default_device(cpu):
             return self._solve_impl()
 

@@ -139,6 +139,14 @@ class DeviceSparseNormalKKT:
         # diagonal positions in the upper-CSC value array (for -del_c I)
         diag_pos = np.asarray([pos[(j, j)] for j in range(m)], np.int32)
         self.diag_pos = diag_pos
+        # (row, col) of every upper-CSC entry, for symmetric Jacobi scaling
+        # (the reference's K2.5 ScaledSparseKKTSystem idea applied to the
+        # normal equations: unit diagonal tames the barrier's 1e+-8 range,
+        # which f32 factorization needs at scale).
+        self.entry_row = S_up.indices.astype(np.int32)
+        self.entry_col = np.repeat(
+            np.arange(m, dtype=np.int32), np.diff(S_up.indptr)
+        )
 
         # Supernodal symbolic over the S pattern; we feed values directly in
         # the symbolic's permuted upper-CSC order via a static gather.
@@ -179,6 +187,12 @@ class DeviceSparseNormalKKT:
             contrib, self.pair_e, num_segments=self.nnz_up
         )
         s_vals = s_vals.at[self.diag_pos].add(-del_c)
+        # Symmetric Jacobi scaling to unit diagonal (K2.5 analog): Ms =
+        # Ds S Ds, solve via S^-1 = Ds Ms^-1 Ds.  Keeps f32 factorization
+        # usable when the barrier diagonal spans ~1e+-8.
+        s_diag = s_vals[self.diag_pos]
+        scale = jax.lax.rsqrt(jnp.maximum(s_diag, jnp.finfo(s_diag.dtype).tiny))
+        s_vals = s_vals * scale[self.entry_row] * scale[self.entry_col]
         s_vals = s_vals[self.value_gather]
         if self.fact_dtype is not None and s_vals.dtype != self.fact_dtype:
             # Mixed precision (see sparse_qp): f32 factorization; the MPC
@@ -188,12 +202,12 @@ class DeviceSparseNormalKKT:
             panels = SC.factorize_batched(self.symb, s_vals)
         else:
             panels = SC.factorize(self.symb, s_vals)
-        return (panels, D, prob)
+        return (panels, D, scale, prob)
 
     def solve(self, factors, rx, ry):
-        panels, D, prob = factors
+        panels, D, scale, prob = factors
         r1 = rx * D
-        r2 = prob.jac_mv(r1) - ry
+        r2 = (prob.jac_mv(r1) - ry) * scale
         out_dtype = r2.dtype
         if self.fact_dtype is not None and r2.dtype != self.fact_dtype:
             r2 = r2.astype(self.fact_dtype)
@@ -201,12 +215,12 @@ class DeviceSparseNormalKKT:
             dy = SC.solve_batched(self.symb, panels, r2)
         else:
             dy = SC.solve(self.symb, panels, r2)
-        dy = dy.astype(out_dtype)
+        dy = dy.astype(out_dtype) * scale
         dx = (rx - prob.jac_rmv(dy)) * D
         return dx, dy
 
     def factor_ok(self, factors):
-        panels, D, _ = factors
+        panels, D, _scale, _ = factors
         ok = jnp.all(D > 0)
         if self.mode == "batched":
             return ok & SC.factor_ok_batched(panels)
@@ -257,9 +271,12 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
 
     solve = jax.jit(kernel.solve_from)
     t0 = time.time()
-    final = jax.block_until_ready(
-        solve(prob, jnp.asarray(x0, dtype), jnp.asarray(y0, dtype),
-              jnp.asarray(std.lb, dtype), jnp.asarray(std.ub, dtype))
-    )
+    # TPU f32 matmuls default to bf16-pass precision — fatal for an f32
+    # factorization.  Force full-f32 accumulation while tracing the solve.
+    with jax.default_matmul_precision("highest"):
+        final = jax.block_until_ready(
+            solve(prob, jnp.asarray(x0, dtype), jnp.asarray(y0, dtype),
+                  jnp.asarray(std.lb, dtype), jnp.asarray(std.ub, dtype))
+        )
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall)

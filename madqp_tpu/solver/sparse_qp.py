@@ -97,8 +97,14 @@ class DeviceSparseAugmentedKKT:
 
     def __init__(self, H: Optional[sp.spmatrix], A: sp.spmatrix,
                  order: str = "auto", max_supernode: int = 128,
-                 fact_dtype=None):
+                 fact_dtype=None, pivot_floor: Optional[float] = None):
         self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
+        if pivot_floor is None:
+            # After K2.5 scaling |diag| ~ 1, so an absolute floor near the
+            # factorization dtype's sqrt(eps) is the right perturbation
+            # magnitude (cuDSS-style; refinement absorbs it).
+            pivot_floor = 1e-6 if self.fact_dtype == jnp.float32 else 0.0
+        self.pivot_floor = float(pivot_floor)
         A = sp.csc_matrix(A)
         A.sum_duplicates()
         A = A.sorted_indices()
@@ -155,6 +161,14 @@ class DeviceSparseAugmentedKKT:
         self.ddiag_pos = np.asarray(
             [pos[(n + i, n + i)] for i in range(m)], np.int32
         )
+        self.alldiag_pos = np.concatenate([self.wdiag_pos, self.ddiag_pos])
+        # (row, col) of every upper-CSC entry, for symmetric Jacobi scaling
+        # — the reference's ScaledSparseKKTSystem ("K2.5", SURVEY §2.3 #2):
+        # unit |diagonal| keeps the quasi-definite LDL well-behaved in f32.
+        self.entry_row = U.indices.astype(np.int32)
+        self.entry_col = np.repeat(
+            np.arange(n + m, dtype=np.int32), np.diff(U.indptr)
+        )
 
         # Supernodal symbolic + value gather (permuted order) + signs.
         self.bs = SC.analyze_batched(K_pat, order=order,
@@ -175,6 +189,11 @@ class DeviceSparseAugmentedKKT:
         kv = jnp.asarray(self._base, pr_diag.dtype)
         kv = kv.at[self.wdiag_pos].add(pr_diag)
         kv = kv.at[self.ddiag_pos].add(del_c)
+        # K2.5 symmetric scaling: Ks = Ds K Ds with Ds = |diag(K)|^-1/2;
+        # quasi-definiteness and pivot signs are preserved.
+        kdiag = jnp.abs(kv[self.alldiag_pos])
+        scale = jax.lax.rsqrt(jnp.maximum(kdiag, jnp.finfo(kv.dtype).tiny))
+        kv = kv * scale[self.entry_row] * scale[self.entry_col]
         kv = kv[self.value_gather]
         if self.fact_dtype is not None and kv.dtype != self.fact_dtype:
             # Mixed precision: factorize in fact_dtype; the MPC kernel's
@@ -182,18 +201,23 @@ class DeviceSparseAugmentedKKT:
             # against the f64 kkt_mul operator (reference hook:
             # src/linear_solver.jl:28-43).
             kv = kv.astype(self.fact_dtype)
-        return SC.factorize_batched_ldl(self.bs, kv)
+        return (SC.factorize_batched_ldl(
+            self.bs, kv, signs=self.expected_signs,
+            pivot_floor=self.pivot_floor), scale)
 
     def solve(self, factors, rx, ry):
-        rhs = jnp.concatenate([rx, ry])
+        ldl, scale = factors
+        rhs = jnp.concatenate([rx, ry]) * scale
         out_dtype = rhs.dtype
         if self.fact_dtype is not None and rhs.dtype != self.fact_dtype:
             rhs = rhs.astype(self.fact_dtype)
-        sol = SC.solve_batched_ldl(self.bs, factors, rhs).astype(out_dtype)
+        sol = SC.solve_batched_ldl(self.bs, ldl, rhs).astype(out_dtype)
+        sol = sol * scale
         return sol[: self.n], sol[self.n:]
 
     def factor_ok(self, factors):
-        return SC.factor_ok_batched_ldl(factors, self.expected_signs)
+        ldl, _scale = factors
+        return SC.factor_ok_batched_ldl(ldl, self.expected_signs)
 
 
 def finish_stats(qp: QuadraticProblem, info, opts, final, wall):
@@ -272,9 +296,12 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto", **options):
 
     solve = jax.jit(kernel.solve_from)
     t0 = time.time()
-    final = jax.block_until_ready(
-        solve(prob, jnp.asarray(x0, dtype), jnp.asarray(y0, dtype),
-              jnp.asarray(std.lb, dtype), jnp.asarray(std.ub, dtype))
-    )
+    # TPU f32 matmuls default to bf16-pass precision — fatal for an f32
+    # factorization.  Force full-f32 accumulation while tracing the solve.
+    with jax.default_matmul_precision("highest"):
+        final = jax.block_until_ready(
+            solve(prob, jnp.asarray(x0, dtype), jnp.asarray(y0, dtype),
+                  jnp.asarray(std.lb, dtype), jnp.asarray(std.ub, dtype))
+        )
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall)
