@@ -52,6 +52,15 @@ def run_instance(name, qp, options):
         t0 = time.time()
         if backend == "host":
             stats = mq.solve_host(qp_s, **solve_opts)
+        elif backend == "sparse-device":
+            # fully on-device sparse path: normal equations for LPs,
+            # augmented LDL for QPs (solver/sparse_{lp,qp}.py)
+            solve_opts.pop("pad_mode", None)
+            solve_opts.pop("kkt_system", None)
+            if qp_s.is_lp:
+                stats = mq.solve_sparse_lp(qp_s, **solve_opts)
+            else:
+                stats = mq.solve_sparse_qp(qp_s, **solve_opts)
         else:
             stats = mq.solve(qp_s, **solve_opts)
         record["total_time"] = time.time() - t0
@@ -88,9 +97,12 @@ def main():
     ap.add_argument("--max-iter", type=int, default=300)
     ap.add_argument("--max-ncorr", type=int, default=3)
     ap.add_argument("--kkt", default="condensed")
-    ap.add_argument("--backend", choices=["device", "host"], default="device",
+    ap.add_argument("--backend",
+                    choices=["device", "host", "sparse-device"],
+                    default="device",
                     help="device = jitted dense TPU path; host = sparse "
-                         "native-LDL CPU path (large instances)")
+                         "native-LDL CPU path; sparse-device = on-device "
+                         "supernodal sparse path (large instances)")
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 factorization + f64 refinement (device path)")
     ap.add_argument("--batched", action="store_true",
