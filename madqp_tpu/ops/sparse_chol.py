@@ -635,7 +635,8 @@ def _assemble_bucket(bk: _Bucket, a_values, upd_buf, dtype):
 
 
 def _chain_scan(ch: _Chain, a_values, upd_buf, dtype, ldl: bool,
-                sgn=None, pivot_floor: float = 0.0):
+                sgn=None, pivot_floor: float = 0.0,
+                inverse: bool = False):
     """Run one chain as a lax.scan; returns (panels, d or None, upd_buf)."""
     w_pad, u_pad = ch.w_pad, ch.u_pad
     r_pad = w_pad + u_pad
@@ -661,11 +662,13 @@ def _chain_scan(ch: _Chain, a_values, upd_buf, dtype, ldl: bool,
                 unit_diagonal=True).T
             L21 = Z / d[None, :]
             U = F[w_pad:, w_pad:] - Z @ L21.T
-            return U, (jnp.concatenate([L11, L21], axis=0), d)
+            top = _inv_lower(L11, unit=True) if inverse else L11
+            return U, (jnp.concatenate([top, L21], axis=0), d)
         L11 = jsl.cholesky(F[:w_pad, :w_pad], lower=True)
         L21 = jsl.solve_triangular(L11, F[w_pad:, :w_pad].T, lower=True).T
         U = F[w_pad:, w_pad:] - L21 @ L21.T
-        return U, (jnp.concatenate([L11, L21], axis=0), None)
+        top = _inv_lower(L11) if inverse else L11
+        return U, (jnp.concatenate([top, L21], axis=0), None)
 
     sgn_rows = (jnp.asarray(sgn, dtype) if sgn is not None
                 else jnp.ones((ch.count, w_pad), dtype))
@@ -677,13 +680,16 @@ def _chain_scan(ch: _Chain, a_values, upd_buf, dtype, ldl: bool,
     return panels, dvec, upd_buf
 
 
-def _chain_solve_fwd(ch: _Chain, panels, x, n):
-    w_pad, u_pad = ch.w_pad, ch.u_pad
+def _chain_solve_fwd(ch: _Chain, panels, x, n, unit=False, inverse=False):
+    w_pad = ch.w_pad
 
     def fstep(x, xs):
         ci, bi, P = xs
-        xj = jsl.solve_triangular(P[:w_pad, :], x[ci], lower=True,
-                                  unit_diagonal=False)
+        if inverse:
+            xj = P[:w_pad, :] @ x[ci]
+        else:
+            xj = jsl.solve_triangular(P[:w_pad, :], x[ci], lower=True,
+                                      unit_diagonal=unit)
         x = x.at[ci].set(xj)
         x = x.at[bi].add(-(P[w_pad:, :] @ xj))
         x = x.at[n].set(0.0)
@@ -693,14 +699,17 @@ def _chain_solve_fwd(ch: _Chain, panels, x, n):
     return x
 
 
-def _chain_solve_bwd(ch: _Chain, panels, x, n):
-    w_pad, u_pad = ch.w_pad, ch.u_pad
+def _chain_solve_bwd(ch: _Chain, panels, x, n, unit=False, inverse=False):
+    w_pad = ch.w_pad
 
     def bstep(x, xs):
         ci, bi, P = xs
         rhs = x[ci] - P[w_pad:, :].T @ x[bi]
-        xj = jsl.solve_triangular(P[:w_pad, :].T, rhs, lower=False,
-                                  unit_diagonal=False)
+        if inverse:
+            xj = P[:w_pad, :].T @ rhs
+        else:
+            xj = jsl.solve_triangular(P[:w_pad, :].T, rhs, lower=False,
+                                      unit_diagonal=unit)
         x = x.at[ci].set(xj)
         x = x.at[n].set(0.0)
         return x, None
@@ -710,86 +719,70 @@ def _chain_solve_bwd(ch: _Chain, panels, x, n):
     return x
 
 
-def _chain_solve_fwd_unit(ch: _Chain, panels, x, n):
-    w_pad = ch.w_pad
-
-    def fstep(x, xs):
-        ci, bi, P = xs
-        xj = jsl.solve_triangular(P[:w_pad, :], x[ci], lower=True,
-                                  unit_diagonal=True)
-        x = x.at[ci].set(xj)
-        x = x.at[bi].add(-(P[w_pad:, :] @ xj))
-        x = x.at[n].set(0.0)
-        return x, None
-
-    x, _ = jax.lax.scan(fstep, x, (ch.cols_idx, ch.below_idx, panels))
-    return x
+def _inv_lower(L, unit: bool = False):
+    """Batched explicit inverse of lower-triangular L (small panel widths;
+    turns the latency-bound per-front triangular backsolves into MXU
+    matmuls — same trade as the dense path's solve_mode='inverse')."""
+    w = L.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(w, dtype=L.dtype), L.shape)
+    return jax.lax.linalg.triangular_solve(
+        L, eye, left_side=True, lower=True, unit_diagonal=unit)
 
 
-def _chain_solve_bwd_unit(ch: _Chain, panels, x, n):
-    w_pad = ch.w_pad
-
-    def bstep(x, xs):
-        ci, bi, P = xs
-        rhs = x[ci] - P[w_pad:, :].T @ x[bi]
-        xj = jsl.solve_triangular(P[:w_pad, :].T, rhs, lower=False,
-                                  unit_diagonal=True)
-        x = x.at[ci].set(xj)
-        x = x.at[n].set(0.0)
-        return x, None
-
-    x, _ = jax.lax.scan(bstep, x, (ch.cols_idx, ch.below_idx, panels),
-                        reverse=True)
-    return x
-
-
-def factorize_batched(bs: BucketedSymbolic, a_values):
+def factorize_batched(bs: BucketedSymbolic, a_values, inverse: bool = False):
     """Batched numeric Cholesky over the schedule.  Returns panels: one
     array per schedule item — (L, r_pad, w_pad) for buckets, (K, r_pad,
-    w_pad) for chains (a flat pytree list)."""
+    w_pad) for chains (a flat pytree list).  With inverse=True the stored
+    diagonal block is inv(L11) and solves become matmuls."""
     dtype = a_values.dtype
     upd_buf = jnp.zeros((bs.total_upd,), dtype)
     panels = []
     for item in bs.schedule:
         if isinstance(item, _Chain):
             P, _, upd_buf = _chain_scan(item, a_values, upd_buf, dtype,
-                                        ldl=False)
+                                        ldl=False, inverse=inverse)
             panels.append(P)
             continue
         bk = item
         w_pad, u_pad = bk.w_pad, bk.u_pad
         F = _assemble_bucket(bk, a_values, upd_buf, dtype)
         L11 = jnp.linalg.cholesky(F[:, :w_pad, :w_pad])
+        top = _inv_lower(L11) if inverse else L11
         if u_pad:
             L21 = jax.lax.linalg.triangular_solve(
                 L11, F[:, w_pad:, :w_pad], left_side=False,
                 lower=True, transpose_a=True,
             )
             U = F[:, w_pad:, w_pad:] - L21 @ L21.transpose(0, 2, 1)
-            panels.append(jnp.concatenate([L11, L21], axis=1))
+            panels.append(jnp.concatenate([top, L21], axis=1))
             if bk.upd_dst.size:
                 upd_buf = upd_buf.at[bk.upd_dst].set(
                     U.reshape(-1)[bk.upd_src])
         else:
-            panels.append(L11)
+            panels.append(top)
     return panels
 
 
-def solve_batched(bs: BucketedSymbolic, panels, b):
-    """Level-scheduled batched triangular solves: L y = b, then L' x = y."""
+def solve_batched(bs: BucketedSymbolic, panels, b, inverse: bool = False):
+    """Level-scheduled batched triangular solves: L y = b, then L' x = y.
+    With inverse=True (matching factorize_batched) the diagonal blocks are
+    already inverted and every sweep step is a matmul."""
     x = jnp.concatenate([jnp.asarray(b)[bs.perm], jnp.zeros((1,), b.dtype)])
     n = bs.n
     # forward
     for item, P in zip(bs.schedule, panels):
         if isinstance(item, _Chain):
-            x = _chain_solve_fwd(item, P, x, n)
+            x = _chain_solve_fwd(item, P, x, n, inverse=inverse)
             continue
         bk = item
         w_pad, u_pad = bk.w_pad, bk.u_pad
-        xj = jax.lax.linalg.triangular_solve(
-            P[:, :w_pad, :], x[bk.cols_idx][..., None], left_side=True,
-            lower=True,
-        )[..., 0]
+        if inverse:
+            xj = (P[:, :w_pad, :] @ x[bk.cols_idx][..., None])[..., 0]
+        else:
+            xj = jax.lax.linalg.triangular_solve(
+                P[:, :w_pad, :], x[bk.cols_idx][..., None], left_side=True,
+                lower=True,
+            )[..., 0]
         x = x.at[bk.cols_idx.reshape(-1)].set(xj.reshape(-1))
         if u_pad:
             y = (P[:, w_pad:, :] @ xj[..., None])[..., 0]
@@ -798,7 +791,7 @@ def solve_batched(bs: BucketedSymbolic, panels, b):
     # backward
     for item, P in zip(bs.schedule[::-1], panels[::-1]):
         if isinstance(item, _Chain):
-            x = _chain_solve_bwd(item, P, x, n)
+            x = _chain_solve_bwd(item, P, x, n, inverse=inverse)
             continue
         bk = item
         w_pad, u_pad = bk.w_pad, bk.u_pad
@@ -807,10 +800,14 @@ def solve_batched(bs: BucketedSymbolic, panels, b):
             xb = x[bk.below_idx]
             rhs = rhs - (P[:, w_pad:, :].transpose(0, 2, 1)
                          @ xb[..., None])[..., 0]
-        xj = jax.lax.linalg.triangular_solve(
-            P[:, :w_pad, :], rhs[..., None], left_side=True, lower=True,
-            transpose_a=True,
-        )[..., 0]
+        if inverse:
+            xj = (P[:, :w_pad, :].transpose(0, 2, 1)
+                  @ rhs[..., None])[..., 0]
+        else:
+            xj = jax.lax.linalg.triangular_solve(
+                P[:, :w_pad, :], rhs[..., None], left_side=True, lower=True,
+                transpose_a=True,
+            )[..., 0]
         x = x.at[bk.cols_idx.reshape(-1)].set(xj.reshape(-1))
         x = x.at[n].set(0.0)
     return x[:-1][bs.iperm]
@@ -871,7 +868,8 @@ def dense_ldl(F, sgn=None, floor: float = 0.0):
 
 
 def factorize_batched_ldl(bs: BucketedSymbolic, a_values, signs=None,
-                          pivot_floor: float = 0.0):
+                          pivot_floor: float = 0.0,
+                          inverse: bool = False):
     """Batched supernodal LDL^T over the schedule.  Returns (panels, dvecs,
     dglob): per-item unit-lower panels, pivot vectors, and the global pivot
     vector in permuted order (n+1, last slot dummy 1).
@@ -889,7 +887,8 @@ def factorize_batched_ldl(bs: BucketedSymbolic, a_values, signs=None,
         if isinstance(item, _Chain):
             P, d, upd_buf = _chain_scan(item, a_values, upd_buf, dtype,
                                         ldl=True, sgn=sgn,
-                                        pivot_floor=pivot_floor)
+                                        pivot_floor=pivot_floor,
+                                        inverse=inverse)
             panels.append(P)
             dvecs.append(d)
             dglob = dglob.at[item.cols_idx.reshape(-1)].set(d.reshape(-1))
@@ -902,6 +901,7 @@ def factorize_batched_ldl(bs: BucketedSymbolic, a_values, signs=None,
                            floor=pivot_floor)
         dglob = dglob.at[bk.cols_idx.reshape(-1)].set(d.reshape(-1))
         dvecs.append(d)
+        top = _inv_lower(L11, unit=True) if inverse else L11
         if u_pad:
             # Z = F21 L11^{-T};  L21 = Z / d;  U = F22 - Z diag(1/d) Z'
             Z = jax.lax.linalg.triangular_solve(
@@ -910,32 +910,37 @@ def factorize_batched_ldl(bs: BucketedSymbolic, a_values, signs=None,
             )
             L21 = Z / d[:, None, :]
             U = F[:, w_pad:, w_pad:] - Z @ L21.transpose(0, 2, 1)
-            panels.append(jnp.concatenate([L11, L21], axis=1))
+            panels.append(jnp.concatenate([top, L21], axis=1))
             if bk.upd_dst.size:
                 upd_buf = upd_buf.at[bk.upd_dst].set(
                     U.reshape(-1)[bk.upd_src])
         else:
-            panels.append(L11)
+            panels.append(top)
     dglob = dglob.at[bs.n].set(1.0)
     return panels, dvecs, dglob
 
 
-def solve_batched_ldl(bs: BucketedSymbolic, factors, b):
+def solve_batched_ldl(bs: BucketedSymbolic, factors, b,
+                      inverse: bool = False):
     """Solve A x = b given the supernodal LDL^T factors: L z = b (unit
-    lower, level-scheduled), z /= d, L' x = z."""
+    lower, level-scheduled), z /= d, L' x = z.  inverse=True must match
+    the factorization (diagonal blocks stored as inv(L11))."""
     panels, _, dglob = factors
     x = jnp.concatenate([jnp.asarray(b)[bs.perm], jnp.zeros((1,), b.dtype)])
     n = bs.n
     for item, P in zip(bs.schedule, panels):
         if isinstance(item, _Chain):
-            x = _chain_solve_fwd_unit(item, P, x, n)
+            x = _chain_solve_fwd(item, P, x, n, unit=True, inverse=inverse)
             continue
         bk = item
         w_pad, u_pad = bk.w_pad, bk.u_pad
-        xj = jax.lax.linalg.triangular_solve(
-            P[:, :w_pad, :], x[bk.cols_idx][..., None], left_side=True,
-            lower=True, unit_diagonal=True,
-        )[..., 0]
+        if inverse:
+            xj = (P[:, :w_pad, :] @ x[bk.cols_idx][..., None])[..., 0]
+        else:
+            xj = jax.lax.linalg.triangular_solve(
+                P[:, :w_pad, :], x[bk.cols_idx][..., None], left_side=True,
+                lower=True, unit_diagonal=True,
+            )[..., 0]
         x = x.at[bk.cols_idx.reshape(-1)].set(xj.reshape(-1))
         if u_pad:
             y = (P[:, w_pad:, :] @ xj[..., None])[..., 0]
@@ -944,7 +949,7 @@ def solve_batched_ldl(bs: BucketedSymbolic, factors, b):
     x = x / dglob
     for item, P in zip(bs.schedule[::-1], panels[::-1]):
         if isinstance(item, _Chain):
-            x = _chain_solve_bwd_unit(item, P, x, n)
+            x = _chain_solve_bwd(item, P, x, n, unit=True, inverse=inverse)
             continue
         bk = item
         w_pad, u_pad = bk.w_pad, bk.u_pad
@@ -953,10 +958,14 @@ def solve_batched_ldl(bs: BucketedSymbolic, factors, b):
             xb = x[bk.below_idx]
             rhs = rhs - (P[:, w_pad:, :].transpose(0, 2, 1)
                          @ xb[..., None])[..., 0]
-        xj = jax.lax.linalg.triangular_solve(
-            P[:, :w_pad, :], rhs[..., None], left_side=True, lower=True,
-            transpose_a=True, unit_diagonal=True,
-        )[..., 0]
+        if inverse:
+            xj = (P[:, :w_pad, :].transpose(0, 2, 1)
+                  @ rhs[..., None])[..., 0]
+        else:
+            xj = jax.lax.linalg.triangular_solve(
+                P[:, :w_pad, :], rhs[..., None], left_side=True, lower=True,
+                transpose_a=True, unit_diagonal=True,
+            )[..., 0]
         x = x.at[bk.cols_idx.reshape(-1)].set(xj.reshape(-1))
         x = x.at[n].set(0.0)
     return x[:-1][bs.iperm]

@@ -80,8 +80,9 @@ class DeviceSparseNormalKKT:
 
     def __init__(self, A: sp.spmatrix, order: str = "auto",
                  max_supernode: int = 128, mode: str = "batched",
-                 fact_dtype=None):
+                 fact_dtype=None, inverse: bool = False):
         self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
+        self.inverse = inverse
         A = sp.csc_matrix(A)
         A.sum_duplicates()
         A = A.sorted_indices()
@@ -199,7 +200,8 @@ class DeviceSparseNormalKKT:
             # kernel's iterative refinement recovers f64.
             s_vals = s_vals.astype(self.fact_dtype)
         if self.mode == "batched":
-            panels = SC.factorize_batched(self.symb, s_vals)
+            panels = SC.factorize_batched(self.symb, s_vals,
+                                          inverse=self.inverse)
         else:
             panels = SC.factorize(self.symb, s_vals)
         return (panels, D, scale, prob)
@@ -212,7 +214,8 @@ class DeviceSparseNormalKKT:
         if self.fact_dtype is not None and r2.dtype != self.fact_dtype:
             r2 = r2.astype(self.fact_dtype)
         if self.mode == "batched":
-            dy = SC.solve_batched(self.symb, panels, r2)
+            dy = SC.solve_batched(self.symb, panels, r2,
+                                  inverse=self.inverse)
         else:
             dy = SC.solve(self.symb, panels, r2)
         dy = dy.astype(out_dtype) * scale
@@ -254,6 +257,7 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     kkt = DeviceSparseNormalKKT(
         std.A, order=order, mode=mode,
         fact_dtype=opts.factorization_dtype or None,
+        inverse=(opts.solve_mode == "inverse"),
     )
     dtype = jnp.dtype(opts.dtype)
     prob = SparseLPProblem(

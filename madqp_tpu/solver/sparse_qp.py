@@ -97,8 +97,10 @@ class DeviceSparseAugmentedKKT:
 
     def __init__(self, H: Optional[sp.spmatrix], A: sp.spmatrix,
                  order: str = "auto", max_supernode: int = 128,
-                 fact_dtype=None, pivot_floor: Optional[float] = None):
+                 fact_dtype=None, pivot_floor: Optional[float] = None,
+                 inverse: bool = False):
         self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
+        self.inverse = inverse
         if pivot_floor is None:
             # After K2.5 scaling |diag| ~ 1, so an absolute floor near the
             # factorization dtype's sqrt(eps) is the right perturbation
@@ -203,7 +205,7 @@ class DeviceSparseAugmentedKKT:
             kv = kv.astype(self.fact_dtype)
         return (SC.factorize_batched_ldl(
             self.bs, kv, signs=self.expected_signs,
-            pivot_floor=self.pivot_floor), scale)
+            pivot_floor=self.pivot_floor, inverse=self.inverse), scale)
 
     def solve(self, factors, rx, ry):
         ldl, scale = factors
@@ -211,7 +213,8 @@ class DeviceSparseAugmentedKKT:
         out_dtype = rhs.dtype
         if self.fact_dtype is not None and rhs.dtype != self.fact_dtype:
             rhs = rhs.astype(self.fact_dtype)
-        sol = SC.solve_batched_ldl(self.bs, ldl, rhs).astype(out_dtype)
+        sol = SC.solve_batched_ldl(
+            self.bs, ldl, rhs, inverse=self.inverse).astype(out_dtype)
         sol = sol * scale
         return sol[: self.n], sol[self.n:]
 
@@ -267,6 +270,7 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto", **options):
     kkt = DeviceSparseAugmentedKKT(
         std.H, std.A, order=order,
         fact_dtype=opts.factorization_dtype or None,
+        inverse=(opts.solve_mode == "inverse"),
     )
     dtype = jnp.dtype(opts.dtype)
     if kkt.H is not None:
