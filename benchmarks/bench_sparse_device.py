@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--mixed-precision", action="store_true")
     ap.add_argument("--refine", type=int, default=2)
     ap.add_argument("--order", default="auto")
+    ap.add_argument("--solve-mode", default="chol", choices=["chol", "inverse"])
     ap.add_argument("--host", action="store_true",
                     help="also run the host sparse path for comparison")
     ap.add_argument("--repeat", type=int, default=1)
@@ -48,6 +49,7 @@ def main():
     if args.mixed_precision:
         opts.update(factorization_dtype="float32",
                     max_refine_steps=args.refine)
+    opts["solve_mode"] = args.solve_mode
 
     solver = (mq.solve_sparse_lp if args.kkt == "normal"
               else mq.solve_sparse_qp)
@@ -72,6 +74,7 @@ def main():
         "time_per_iter_ms": round(1e3 * best / max(st.iter, 1), 2),
         "primal_feas": st.primal_feas, "dual_feas": st.dual_feas,
         "mixed_precision": bool(args.mixed_precision),
+        "solve_mode": args.solve_mode,
         "backend": jax.devices()[0].platform,
     }
     print(json.dumps(rec))

@@ -81,6 +81,16 @@ class MPCSolver:
                 "kkt_system='schur' requires a block-angular TwoStageProblem;"
                 " use madqp_tpu.parallel.solve_two_stage instead."
             )
+        if opts.kkt_system == "sparse-normal" and not qp.is_lp:
+            raise ValueError(
+                "sparse-normal KKT supports only linear programs "
+                "(reference normalkkt.jl:45-48); use sparse-augmented."
+            )
+
+        self._sparse = opts.kkt_system in ("sparse-normal", "sparse-augmented")
+        if self._sparse:
+            self._init_sparse(qp, opts)
+            return
 
         t0 = time.time()
         self.std, self.info, x0_int, y0_int = build_standard_form(
@@ -113,7 +123,84 @@ class MPCSolver:
         self._warm_point = None
         self.cnt = Counters(start_time=t0, init_time=time.time() - t0)
 
+    def _init_sparse(self, qp, opts):
+        """Sparse device KKTs: COO problem arrays + supernodal symbolic
+        (pattern-specific, so the jitted kernel is bound per instance,
+        not through the options-keyed cache)."""
+        from ..models.qp import build_standard_form_sparse
+        from .sparse_lp import DeviceSparseNormalKKT, SparseLPProblem
+        from .sparse_qp import DeviceSparseAugmentedKKT, SparseQPProblem
+
+        t0 = time.time()
+        self.std, self.info, x0_int, y0_int = build_standard_form_sparse(
+            qp, scaling=opts.scaling, max_gradient=opts.max_gradient
+        )
+        dtype = jnp.dtype(opts.dtype)
+        fact_dtype = opts.factorization_dtype or None
+        inverse = opts.solve_mode == "inverse"
+        if opts.kkt_system == "sparse-normal":
+            kkt = DeviceSparseNormalKKT(
+                self.std.A, fact_dtype=fact_dtype, inverse=inverse,
+            )
+            self.prob = SparseLPProblem(
+                c0=jnp.asarray(self.std.c0, dtype),
+                c=jnp.asarray(self.std.c, dtype),
+                b=jnp.asarray(self.std.b, dtype),
+                has_lb=jnp.asarray(self.std.has_lb),
+                has_ub=jnp.asarray(self.std.has_ub),
+                a_rows=jnp.asarray(kkt.coo_rows),
+                a_cols=jnp.asarray(kkt.coo_cols),
+                a_vals=jnp.asarray(kkt.coo_vals, dtype),
+            )
+        else:
+            kkt = DeviceSparseAugmentedKKT(
+                self.std.H, self.std.A, fact_dtype=fact_dtype,
+                inverse=inverse,
+            )
+            if kkt.H is not None:
+                Hcoo = kkt.H.tocoo()
+                h = (jnp.asarray(Hcoo.row.astype(np.int32)),
+                     jnp.asarray(Hcoo.col.astype(np.int32)),
+                     jnp.asarray(Hcoo.data, dtype))
+            else:
+                h = (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32),
+                     jnp.zeros((0,), dtype))
+            self.prob = SparseQPProblem(
+                c0=jnp.asarray(self.std.c0, dtype),
+                c=jnp.asarray(self.std.c, dtype),
+                b=jnp.asarray(self.std.b, dtype),
+                has_lb=jnp.asarray(self.std.has_lb),
+                has_ub=jnp.asarray(self.std.has_ub),
+                a_rows=jnp.asarray(kkt.coo_rows),
+                a_cols=jnp.asarray(kkt.coo_cols),
+                a_vals=jnp.asarray(kkt.coo_vals, dtype),
+                h_rows=h[0], h_cols=h[1], h_vals=h[2],
+            )
+        self._sparse_kkt = kkt
+        self._sparse_cfg = (opts.factorization_dtype, opts.solve_mode)
+        self._lb0 = jnp.asarray(self.std.lb, dtype)
+        self._ub0 = jnp.asarray(self.std.ub, dtype)
+        self._x0 = jnp.asarray(x0_int, dtype)
+        self._y0 = jnp.asarray(y0_int, dtype)
+        self._bind_kernel(opts)
+        self._warm_point = None
+        self.cnt = Counters(start_time=t0, init_time=time.time() - t0)
+
     def _bind_kernel(self, opts):
+        if getattr(self, "_sparse", False):
+            if (opts.factorization_dtype, opts.solve_mode) != self._sparse_cfg:
+                # precision/backsolve-mode overrides at solve() time change
+                # the KKT's numeric plan — rebuild it on the same pattern
+                self._init_sparse(self.qp, opts)
+                return
+            kernel = MPCKernel(opts, kkt=self._sparse_kkt)
+            self.kernel = kernel
+            self._solve_jit = jax.jit(kernel.solve_from)
+            self._iter_jit = jax.jit(kernel.iteration)
+            self._init_jit = jax.jit(kernel.init_state)
+            self._warm_solve_jit = jax.jit(kernel.solve_from_warm)
+            self._warm_init_jit = jax.jit(kernel.init_state_warm)
+            return
         fns = _jitted_kernel(opts)
         self.kernel = fns["kernel"]
         self._solve_jit = fns["solve"]

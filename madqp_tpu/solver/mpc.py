@@ -55,10 +55,10 @@ def _tree_select(pred, a, b):
 class MPCKernel:
     """Traced MPC solver: static options + pure methods over problem pytrees."""
 
-    def __init__(self, opts: IPMOptions):
+    def __init__(self, opts: IPMOptions, kkt=None):
         self.opts = opts
         fact_dtype = opts.factorization_dtype or None
-        self.kkt = make_kkt(
+        self.kkt = kkt if kkt is not None else make_kkt(
             opts.kkt_system, fact_dtype=fact_dtype,
             chol_backend="pallas" if opts.linear_solver == "pallas" else "xla",
             solve_mode=opts.solve_mode,

@@ -112,3 +112,37 @@ def test_sparse_augmented_lp_matches_dense_solver():
     assert st.status == ref.status
     assert st.iter == ref.iter
     assert abs(st.objective - ref.objective) <= 1e-7 * max(1.0, abs(ref.objective))
+
+
+def test_sparse_kkt_via_mpcsolver():
+    """Sparse device KKTs as first-class kkt_system options in the main
+    driver: logging loop, warm starts, stats recovery all shared."""
+    qp = banded_sparse_lp(n=120, m=60, band=4, seed=11)
+    solver = mq.MPCSolver(qp, kkt_system="sparse-normal", tol=1e-8,
+                          print_level=0)
+    st = solver.solve()
+    ref = mq.solve(qp, tol=1e-8, print_level=0)
+    assert st.status == ref.status == mq.Status.SOLVE_SUCCEEDED
+    assert st.iter == ref.iter
+    np.testing.assert_allclose(st.solution, ref.solution, atol=1e-6)
+
+    # warm restart from the solution: should finish in O(1) iterations
+    solver.set_initial_point(x=st.solution, y=st.multipliers,
+                             zl=st.multipliers_L, zu=st.multipliers_U)
+    st2 = solver.solve()
+    assert st2.status == mq.Status.SOLVE_SUCCEEDED
+    assert st2.iter <= 3
+
+    qp2 = random_qp(n=40, m=20, seed=3)
+    st3 = mq.MPCSolver(qp2, kkt_system="sparse-augmented", tol=1e-8,
+                       print_level=0).solve()
+    ref3 = mq.solve(qp2, tol=1e-8, print_level=0)
+    assert st3.status == ref3.status
+    assert abs(st3.objective - ref3.objective) <= 1e-7 * max(
+        1.0, abs(ref3.objective))
+
+
+def test_sparse_normal_rejects_qp_in_driver():
+    qp = random_qp(n=20, m=10, seed=0)
+    with pytest.raises(ValueError):
+        mq.MPCSolver(qp, kkt_system="sparse-normal")
