@@ -105,6 +105,9 @@ def main():
                          "supernodal sparse path (large instances)")
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 factorization + f64 refinement (device path)")
+    ap.add_argument("--measure-ls", action="store_true",
+                    help="measure linear_solver_time (extra timed "
+                         "factorize/backsolve after each solve)")
     ap.add_argument("--batched", action="store_true",
                     help="solve the whole suite as ONE vmapped batch "
                          "(single compile, lockstep iterations)")
@@ -127,6 +130,8 @@ def main():
         options["pad_mode"] = "bucket"
     if args.mixed_precision:
         options.update(factorization_dtype="float32", max_refine_steps=1)
+    if args.measure_ls:
+        options["measure_linear_solver"] = True
     excluded = set(filter(None, args.exclude.split(",")))
 
     instances = []

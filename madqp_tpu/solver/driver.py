@@ -284,7 +284,51 @@ class MPCSolver:
             cnt.total_time = time.time() - cnt.start_time
             self.logger.notice(f"EXIT: {get_status_output(status)}")
 
+        if self.opts.measure_linear_solver and final is not None:
+            try:
+                cnt.linear_solver_time = self._measure_linear_solver(final)
+            except Exception:
+                pass  # measurement is best-effort; never fail the solve
         return self._build_stats(final, status)
+
+    def _measure_linear_solver(self, final) -> float:
+        """Estimate cumulative factorize+backsolve time (the reference's
+        linear_solver_time, scripts/benchmarks_cpu.jl:55): time one
+        factorization and one backsolve at the terminal iterate (distinct
+        inputs each repetition — identical dispatches can be memoized by
+        the device transport) and scale by the recorded counts."""
+        kern, p = self.kernel, self.prob
+
+        fact_jit = jax.jit(
+            lambda x, zl, zu, lb, ub, dw, dc: kern._factorize(
+                p, x, lb, ub, zl, zu, dw, dc)[0]
+        )
+        solve_jit = jax.jit(lambda f, rx, ry: kern.kkt.solve(f, rx, ry))
+
+        def best_of(fn, make_args, reps=3):
+            best = float("inf")
+            for i in range(reps):
+                args = make_args(i)
+                t0 = time.time()
+                jax.block_until_ready(fn(*args))
+                best = min(best, time.time() - t0)
+            return best
+
+        f0 = final
+        eps = 1e-9
+        t_fact = best_of(
+            fact_jit,
+            lambda i: (f0.x * (1.0 + eps * i), f0.zl, f0.zu, f0.lb, f0.ub,
+                       f0.del_w, f0.del_c),
+        )
+        factors = fact_jit(f0.x, f0.zl, f0.zu, f0.lb, f0.ub,
+                           f0.del_w, f0.del_c)
+        rx = f0.x
+        ry = f0.y
+        t_solve = best_of(
+            solve_jit, lambda i: (factors, rx * (1.0 + eps * i), ry),
+        )
+        return (t_fact * int(f0.n_fact) + t_solve * int(f0.n_solve))
 
     def set_initial_point(self, x=None, y=None, zl=None, zu=None):
         """Supply a user-space warm-start point for the next solve().

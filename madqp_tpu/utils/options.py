@@ -130,6 +130,7 @@ class IPMOptions:
     tol: float = 1e-8
     max_iter: int = 3000
     max_wall_time: float = 1e6   # seconds; enforced host-side between runs
+    measure_linear_solver: bool = False  # post-solve factorize/backsolve timing
     kappa_d: float = 1e-5
     # KKT / linear solver
     kkt_system: str = KKTSystem.CONDENSED
