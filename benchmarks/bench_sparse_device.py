@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--n", type=int, default=20000)
     ap.add_argument("--m", type=int, default=10000)
     ap.add_argument("--band", type=int, default=5)
+    ap.add_argument("--grid", type=int, default=0,
+                    help="use a gxg 2D-grid LP instead of the banded LP "
+                         "(wide-front etree — the MXU-friendly regime)")
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--kkt", choices=["normal", "augmented"],
                     default="normal")
@@ -44,7 +47,13 @@ def main():
 
     import madqp_tpu as mq
 
-    qp = mq.banded_sparse_lp(n=args.n, m=args.m, band=args.band, seed=0)
+    if args.grid:
+        from madqp_tpu.models.generators import grid_lp
+
+        qp = grid_lp(g=args.grid, seed=0)
+        args.m, args.n = qp.ncon, qp.nvar
+    else:
+        qp = mq.banded_sparse_lp(n=args.n, m=args.m, band=args.band, seed=0)
     opts = dict(tol=args.tol, print_level=0)
     if args.mixed_precision:
         opts.update(factorization_dtype="float32",
@@ -65,7 +74,8 @@ def main():
 
     best = min(times)
     rec = {
-        "metric": f"sparse_device_{args.kkt}",
+        "metric": ("sparse_device_grid" if args.grid
+                   else f"sparse_device_{args.kkt}"),
         "n": args.n, "m": args.m, "band": args.band,
         "status": int(st.status), "iter": st.iter,
         "objective": st.objective,

@@ -22,6 +22,8 @@ _jax.config.update("jax_enable_x64", True)
 # default because reloading CPU AOT artifacts compiled with different
 # machine features stalls for minutes (observed in this environment).
 _cache_dir = _os.environ.get("MADQP_COMPILE_CACHE", "")
+if _cache_dir in ("1", "true", "yes", "on"):  # enable with the default dir
+    _cache_dir = _os.path.expanduser("~/.cache/madqp_jax")
 if _cache_dir and _cache_dir != "0":
     try:
         _os.makedirs(_cache_dir, exist_ok=True)

@@ -161,3 +161,56 @@ def banded_sparse_lp(n: int = 20000, m: int = 10000, band: int = 5, seed: int = 
         uvar=np.full(n, np.inf),
         name=f"banded_sparse_lp_{n}_{m}",
     )
+
+
+def grid_lp(g: int = 100, seed: int = 0) -> QuadraticProblem:
+    """LP whose equality constraints couple variables on a g x g 2D grid:
+    [L | I] x = b with L the 5-point Laplacian stencil (+4 diagonal), one
+    slack-like column block, x >= 0.
+
+    The normal matrix L L' + I has a 2D-mesh pattern whose elimination
+    tree (under AMD) is a real tree with O(g)-wide root fronts — the
+    MXU-friendly sparse regime, in contrast to banded chains whose etree
+    is a sequential path.  COO built directly (scipy.sparse.random is slow
+    at scale in this image).
+    """
+    rng = np.random.default_rng(seed)
+    m = g * g
+    n = 2 * m
+    rows, cols, vals = [], [], []
+    for i in range(g):
+        for j in range(g):
+            r = i * g + j
+            rows.append(r)
+            cols.append(r)
+            vals.append(4.0)
+            for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < g and 0 <= jj < g:
+                    rows.append(r)
+                    cols.append(ii * g + jj)
+                    vals.append(-1.0)
+    # identity block for the second half of the variables
+    rows.extend(range(m))
+    cols.extend(range(m, n))
+    vals.extend([1.0] * m)
+    A = sp.coo_matrix(
+        (np.asarray(vals), (np.asarray(rows), np.asarray(cols))),
+        shape=(m, n),
+    ).tocsr()
+    x_feas = rng.uniform(0.5, 2.0, n)
+    b = np.asarray(A @ x_feas).ravel()
+    c = rng.uniform(0.1, 1.0, n)
+    return QuadraticProblem(
+        c0=0.0,
+        c=c,
+        H=None,
+        A=A,
+        lcon=b,
+        ucon=b,
+        lvar=np.zeros(n),
+        uvar=np.full(n, np.inf),
+        x0=np.ones(n),
+        y0=np.zeros(m),
+        name=f"grid_lp_{g}",
+    )

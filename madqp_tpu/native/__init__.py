@@ -134,15 +134,100 @@ def amd_order(A: sp.spmatrix, variant: str = "elem") -> np.ndarray:
 _AMD_SIZE_LIMIT = 200_000  # element-based AMD is O(nnz)-memory; cap anyway
 
 
+def nd_order(A: sp.spmatrix, leaf: int = 96) -> np.ndarray:
+    """Nested-dissection permutation via recursive level-set bisection.
+
+    George-style: BFS from a pseudo-peripheral vertex gives level sets;
+    split at the median level, peel the boundary of the near half as a
+    vertex separator, recurse on the two halves, number the separator
+    LAST.  Leaves (<= `leaf` vertices) are ordered with AMD.
+
+    The point on TPU is tree *shape*, not fill: separators become the
+    top supernodes, so the assembly tree is balanced with 2^k
+    independent, same-shaped subtrees at depth k — which the bucketed/
+    batched numeric phase (ops/sparse_chol.py) turns into one batched
+    MXU call per level instead of one long sequential chain.  (The
+    reference leaves ordering to CHOLMOD/cuDSS's internal ND,
+    src/utils.jl:60-62; here it is explicit.)
+    """
+    G = (abs(A) + abs(A).T).tocsr()
+    G.setdiag(0)
+    G.eliminate_zeros()
+    G = sp.csr_matrix((np.ones_like(G.data, dtype=np.int8),
+                       G.indices, G.indptr), shape=G.shape)
+    n = G.shape[0]
+    out = np.empty(n, np.int32)
+    pos = n  # fill from the back: separators first (= numbered last)
+    # Explicit stack: arrays are vertex sets to split; 1-tuples are
+    # separator blocks emitted as-is.
+    stack = [np.arange(n, dtype=np.int32)]
+    while stack:
+        verts = stack.pop()
+        if isinstance(verts, tuple):  # deferred separator block
+            sep = verts[0]
+            pos -= sep.size
+            out[pos:pos + sep.size] = sep
+            continue
+        nv = verts.size
+        if nv == 0:
+            continue
+        sub = G[verts][:, verts].tocsr()
+        ncomp, labels = sp.csgraph.connected_components(sub, directed=False)
+        if ncomp > 1:
+            for c in range(ncomp):
+                stack.append(verts[labels == c])
+            continue
+        if nv <= leaf:
+            p = amd_order(sub) if nv > 2 else np.arange(nv, dtype=np.int32)
+            pos -= nv
+            out[pos:pos + nv] = verts[p]
+            continue
+        # pseudo-peripheral: two BFS sweeps
+        d = sp.csgraph.dijkstra(sub, unweighted=True, indices=0,
+                                directed=False)
+        src = int(np.argmax(np.where(np.isinf(d), -1, d)))
+        d = sp.csgraph.dijkstra(sub, unweighted=True, indices=src,
+                                directed=False)
+        levels = d.astype(np.int64)
+        t = int(np.median(levels))
+        near = levels <= t
+        far = ~near
+        # separator: near-side vertices adjacent to the far side
+        far_mask = far
+        adj_far = np.zeros(nv, bool)
+        for v in np.flatnonzero(near):
+            row = sub.indices[sub.indptr[v]:sub.indptr[v + 1]]
+            if far_mask[row].any():
+                adj_far[v] = True
+        sep_l = near & adj_far
+        if not sep_l.any() or not (near & ~sep_l).any() or not far.any():
+            # degenerate split (e.g. star graphs): fall back to AMD
+            p = amd_order(sub)
+            pos -= nv
+            out[pos:pos + nv] = verts[p]
+            continue
+        # Fill is back-to-front and the stack is LIFO, so push the
+        # separator LAST: it pops first and takes the highest (= last
+        # eliminated) slots, then the two halves fill below it.
+        stack.append(verts[near & ~sep_l])
+        stack.append(verts[far])
+        stack.append((verts[sep_l],))
+    assert pos == 0
+    return out
+
+
 def ordering(A: sp.spmatrix, method: str = "auto") -> np.ndarray:
-    """Fill-reducing permutation: 'amd' (native minimum degree), 'rcm'
-    (scipy reverse Cuthill-McKee), 'natural', or 'auto' (amd below
-    _AMD_SIZE_LIMIT, rcm above)."""
+    """Fill-reducing permutation: 'amd' (native minimum degree), 'nd'
+    (nested dissection — balanced assembly tree for batched device
+    factorization), 'rcm' (scipy reverse Cuthill-McKee), 'natural', or
+    'auto' (amd below _AMD_SIZE_LIMIT, rcm above)."""
     n = A.shape[0]
     if method == "auto":
         method = "amd" if n <= _AMD_SIZE_LIMIT else "rcm"
     if method == "natural":
         return np.arange(n, dtype=np.int32)
+    if method == "nd":
+        return nd_order(A)
     if method == "rcm":
         return np.asarray(
             sp.csgraph.reverse_cuthill_mckee(

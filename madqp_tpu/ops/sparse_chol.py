@@ -377,14 +377,52 @@ class BucketedSymbolic:
     schedule: List[object]    # topologically ordered _Bucket / _Chain items
     total_upd: int
 
+    def permute_values(self, A: sp.spmatrix) -> np.ndarray:
+        """Upper-triangle value array of P A P' in THIS schedule's CSC
+        order.  Always use this (not a separate analyze()) — order='auto'
+        may pick a different permutation per call."""
+        Ap = sp.csc_matrix(A)[self.perm][:, self.perm]
+        U = sp.triu(Ap.tocsr(), k=0, format="csc").sorted_indices()
+        return np.asarray(U.data, dtype=np.float64)
+
 
 _CHAIN_MIN = 4  # minimum path length worth a scan
+
+
+def schedule_cost(bs: "BucketedSymbolic",
+                  stage_s: float = 30e-6,
+                  flops_per_s: float = 5e12) -> float:
+    """Predicted device seconds for one factorization of this schedule.
+
+    Two terms: sequential dispatch latency (every bucket is one stage;
+    every chain element is one lax.scan step) and padded-front MXU flops.
+    The constants are deliberately coarse — the model only has to rank
+    orderings (see analyze_batched order='auto'), not predict wall time.
+    """
+    cost = 0.0
+    for it in bs.schedule:
+        w, u = it.w_pad, it.u_pad
+        fl = it.count * (w ** 3 / 3 + w * w * u + w * u * u)
+        steps = it.count if isinstance(it, _Chain) else 1
+        cost += steps * stage_s + fl / flops_per_s
+    return cost
 
 
 def analyze_batched(A: sp.spmatrix, order: str = "auto",
                     max_supernode: int = 128,
                     relax: int = 16) -> BucketedSymbolic:
-    """Host symbolic analysis producing the bucket/chain schedule."""
+    """Host symbolic analysis producing the bucket/chain schedule.
+
+    order='auto' builds the schedule under both AMD (minimum fill) and
+    nested dissection (minimum critical path) and keeps the one with the
+    lower predicted device cost: on TPU, sequential stage count is
+    usually worth more than fill — the opposite of the CPU trade-off
+    the reference's CHOLMOD default makes (src/utils.jl:60-62).
+    """
+    if order == "auto":
+        cands = [analyze_batched(A, order=o, max_supernode=max_supernode,
+                                 relax=relax) for o in ("amd", "nd")]
+        return min(cands, key=schedule_cost)
     symb = analyze(A, order=order, max_supernode=max_supernode, relax=relax)
     snodes = symb.supernodes
     nsn = len(snodes)

@@ -135,3 +135,18 @@ def test_free_constraint_row():
     stats = mq.solve(qp, print_level=40)
     assert stats.status == mq.Status.SOLVE_SUCCEEDED
     assert stats.objective == pytest.approx(1.0, abs=1e-6)
+
+
+def test_grid_lp_generator_and_sparse_solve():
+    """grid_lp produces a feasible 2D-mesh-structured LP whose sparse
+    device path agrees with the dense solver (wide-front etree regime)."""
+    from madqp_tpu.models.generators import grid_lp
+
+    qp = grid_lp(g=8, seed=0)
+    assert qp.nvar == 2 * 64 and qp.ncon == 64
+    st = mq.MPCSolver(qp, kkt_system="sparse-normal", tol=1e-8,
+                      print_level=0).solve()
+    ref = mq.solve(qp, tol=1e-8, print_level=0)
+    assert st.status == mq.Status.SOLVE_SUCCEEDED
+    assert st.iter == ref.iter
+    assert st.objective == pytest.approx(ref.objective, rel=1e-7)

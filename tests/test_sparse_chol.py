@@ -122,12 +122,44 @@ def test_chain_schedule_ldl_quasidefinite():
     W = sp.diags(rng.uniform(0.5, 2.0, n))
     K = sp.bmat([[W, A.T], [A, -1e-4 * sp.eye(m)]], format="csc")
     K.sum_duplicates()
-    bs = SC.analyze_batched(K, order="auto")
+    bs = SC.analyze_batched(K, order="amd")
     assert any(isinstance(it, SC._Chain) for it in bs.schedule)
-    symb = SC.analyze(K, order="auto")
-    f = SC.factorize_batched_ldl(bs, jnp.asarray(symb.permute_values(K)))
+    f = SC.factorize_batched_ldl(bs, jnp.asarray(bs.permute_values(K)))
     es = SC.bucket_signs(bs, np.concatenate([np.ones(n), -np.ones(m)]))
     assert bool(SC.factor_ok_batched_ldl(f, es))
     b = rng.standard_normal(n + m)
     x = np.asarray(SC.solve_batched_ldl(bs, f, jnp.asarray(b)))
     assert np.abs(K @ x - b).max() < 1e-6
+
+
+def test_nd_order_valid_permutation_and_solve():
+    """Nested dissection produces a valid permutation, a bushy (chain-free,
+    few-stage) schedule on banded patterns, and exact factorization."""
+    import jax.numpy as jnp
+    from madqp_tpu.native import nd_order
+    from madqp_tpu.ops import sparse_chol as SC
+
+    A = banded_spd(3000, bw=4)
+    p = nd_order(A)
+    assert np.array_equal(np.sort(p), np.arange(A.shape[0]))
+
+    bs = SC.analyze_batched(A, order="nd")
+    n_chain = sum(1 for it in bs.schedule if isinstance(it, SC._Chain))
+    assert n_chain == 0  # separators -> balanced tree, no long paths
+    assert len(bs.schedule) <= 12  # ~log2(n/supernode) levels
+
+    panels = SC.factorize_batched(bs, jnp.asarray(bs.permute_values(A)))
+    assert bool(SC.factor_ok_batched(panels))
+    rng_ = np.random.default_rng(1)
+    b = rng_.standard_normal(A.shape[0])
+    x = np.asarray(SC.solve_batched(bs, panels, jnp.asarray(b)))
+    assert np.abs(A @ x - b).max() < 1e-8
+
+
+def test_nd_order_disconnected_graph():
+    from madqp_tpu.native import nd_order
+
+    blocks = [banded_spd(150, bw=3), banded_spd(97, bw=2), sp.eye(5).tocsc()]
+    A = sp.block_diag(blocks, format="csc")
+    p = nd_order(A)
+    assert np.array_equal(np.sort(p), np.arange(A.shape[0]))
