@@ -75,6 +75,12 @@ def run_instance(name, qp, options):
 
 
 def generated_suite(kind: str, sizes):
+    if kind.startswith("structured"):
+        from madqp_tpu.models.suite import structured_suite
+
+        size = kind.split(":")[1] if ":" in kind else "medium"
+        yield from structured_suite(size)
+        return
     for n in sizes:
         m = max(1, n // 2)
         if kind == "random_qp":
@@ -91,7 +97,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", help="directory of .mps/.qps/.sif[.gz|.bz2] files")
     ap.add_argument("--suite", default="random_qp",
-                    choices=["random_qp", "random_lp", "dense_dummy"])
+                    help="random_qp | random_lp | dense_dummy | "
+                         "structured[:small|medium|large] (Netlib-like "
+                         "family mix, models/suite.py)")
     ap.add_argument("--sizes", default="100,200,500")
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--max-iter", type=int, default=300)

@@ -324,7 +324,7 @@ def make_kkt(name: str, fact_dtype=None, chol_backend: str = "xla",
     except KeyError:
         raise ValueError(
             f"unknown kkt_system '{name}'; options: "
-            f"{sorted(_KKT_REGISTRY) + ['schur']}"
+            f"{sorted(_KKT_REGISTRY) + ['schur', 'sparse-normal', 'sparse-augmented']}"
         )
     try:
         return cls(fact_dtype=fact_dtype, chol_backend=chol_backend,
