@@ -120,6 +120,9 @@ def main():
                     help="solve the whole suite as ONE vmapped batch "
                          "(single compile, lockstep iterations)")
     ap.add_argument("--out", default="")
+    ap.add_argument("--resume", action="store_true",
+                    help="checkpoint/resume: skip instances already recorded "
+                         "in --out and append new results (SURVEY §5.4)")
     ap.add_argument("--exclude", default="", help="comma-separated instance names")
     args = ap.parse_args()
 
@@ -165,6 +168,21 @@ def main():
         ]
 
     results = []
+    if args.resume and args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+        done = {r["name"] for r in results}
+        instances = [(nm, qp) for nm, qp in instances if nm not in done]
+        print(f"# resume: {len(done)} done, {len(instances)} remaining",
+              file=sys.stderr)
+
+    def _checkpoint():
+        if args.out:
+            tmp = args.out + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(results, f, indent=2)
+            os.replace(tmp, args.out)
+
     if args.batched and instances:
         from madqp_tpu.parallel import solve_batched
 
@@ -189,10 +207,9 @@ def main():
             rec = run_instance(nm, qp, options)
             results.append(rec)
             print(json.dumps(rec), flush=True)
+            _checkpoint()  # per-instance: a killed run resumes with --resume
 
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2)
+    _checkpoint()
     solved = sum(1 for r in results if r["status"] == 1)
     print(f"# solved {solved}/{len(results)}", file=sys.stderr)
 
