@@ -128,6 +128,8 @@ class MPCSolver:
         (pattern-specific, so the jitted kernel is bound per instance,
         not through the options-keyed cache)."""
         from ..models.qp import build_standard_form_sparse
+        from .sparse_common import (canonical_coo_vals, get_sparse_kernel,
+                                    pattern_fingerprint)
         from .sparse_lp import DeviceSparseNormalKKT, SparseLPProblem
         from .sparse_qp import DeviceSparseAugmentedKKT, SparseQPProblem
 
@@ -139,9 +141,13 @@ class MPCSolver:
         fact_dtype = opts.factorization_dtype or None
         inverse = opts.solve_mode == "inverse"
         if opts.kkt_system == "sparse-normal":
-            kkt = DeviceSparseNormalKKT(
+            self._sparse_kind = "lp:auto:batched"
+            self._sparse_fp = pattern_fingerprint(self.std.A)
+            self._sparse_make = lambda: DeviceSparseNormalKKT(
                 self.std.A, fact_dtype=fact_dtype, inverse=inverse,
             )
+            kkt, kernel, jits = get_sparse_kernel(
+                self._sparse_kind, self._sparse_fp, opts, self._sparse_make)
             self.prob = SparseLPProblem(
                 c0=jnp.asarray(self.std.c0, dtype),
                 c=jnp.asarray(self.std.c, dtype),
@@ -150,18 +156,22 @@ class MPCSolver:
                 has_ub=jnp.asarray(self.std.has_ub),
                 a_rows=jnp.asarray(kkt.coo_rows),
                 a_cols=jnp.asarray(kkt.coo_cols),
-                a_vals=jnp.asarray(kkt.coo_vals, dtype),
+                a_vals=jnp.asarray(canonical_coo_vals(self.std.A), dtype),
             )
         else:
-            kkt = DeviceSparseAugmentedKKT(
+            self._sparse_kind = "qp:auto"
+            self._sparse_fp = pattern_fingerprint(self.std.A, self.std.H)
+            self._sparse_make = lambda: DeviceSparseAugmentedKKT(
                 self.std.H, self.std.A, fact_dtype=fact_dtype,
                 inverse=inverse,
             )
+            kkt, kernel, jits = get_sparse_kernel(
+                self._sparse_kind, self._sparse_fp, opts, self._sparse_make)
             if kkt.H is not None:
                 Hcoo = kkt.H.tocoo()
                 h = (jnp.asarray(Hcoo.row.astype(np.int32)),
                      jnp.asarray(Hcoo.col.astype(np.int32)),
-                     jnp.asarray(Hcoo.data, dtype))
+                     jnp.asarray(canonical_coo_vals(self.std.H), dtype))
             else:
                 h = (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32),
                      jnp.zeros((0,), dtype))
@@ -173,7 +183,7 @@ class MPCSolver:
                 has_ub=jnp.asarray(self.std.has_ub),
                 a_rows=jnp.asarray(kkt.coo_rows),
                 a_cols=jnp.asarray(kkt.coo_cols),
-                a_vals=jnp.asarray(kkt.coo_vals, dtype),
+                a_vals=jnp.asarray(canonical_coo_vals(self.std.A), dtype),
                 h_rows=h[0], h_cols=h[1], h_vals=h[2],
             )
         self._sparse_kkt = kkt
@@ -193,13 +203,20 @@ class MPCSolver:
                 # the KKT's numeric plan — rebuild it on the same pattern
                 self._init_sparse(self.qp, opts)
                 return
-            kernel = MPCKernel(opts, kkt=self._sparse_kkt)
+            # Pattern-cached kernel + jits: one trace serves every
+            # same-pattern instance; solve-time option overrides re-key
+            # the cache (opts is part of the key).
+            from .sparse_common import get_sparse_kernel
+
+            kkt, kernel, jits = get_sparse_kernel(
+                self._sparse_kind, self._sparse_fp, opts, self._sparse_make)
+            self._sparse_kkt = kkt
             self.kernel = kernel
-            self._solve_jit = jax.jit(kernel.solve_from)
-            self._iter_jit = jax.jit(kernel.iteration)
-            self._init_jit = jax.jit(kernel.init_state)
-            self._warm_solve_jit = jax.jit(kernel.solve_from_warm)
-            self._warm_init_jit = jax.jit(kernel.init_state_warm)
+            self._solve_jit = jits["solve"]
+            self._iter_jit = jits["iter"]
+            self._init_jit = jits["init"]
+            self._warm_solve_jit = jits["warm_solve"]
+            self._warm_init_jit = jits["warm_init"]
             return
         fns = _jitted_kernel(opts)
         self.kernel = fns["kernel"]

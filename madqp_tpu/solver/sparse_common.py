@@ -1,0 +1,93 @@
+"""Shared infrastructure for the on-device sparse KKT paths.
+
+The sparse KKTs close over large NUMPY index arrays (symbolic schedule,
+scatter maps) that XLA folds into the compiled program, so each
+`jax.jit(kernel.solve_from)` is pattern-specific.  Re-tracing a 20k-variable
+supernodal solve costs minutes — far more than the device time of the solve
+itself (measured: ND f32 factorize+solve < 50 ms device vs ~160 s retrace
+through the compile cache).  This module provides:
+
+- `canonical_csc(M)` — the ONE canonicalization both KKT constructors and
+  value refills must share (CSC, summed duplicates, sorted indices);
+- `pattern_fingerprint(...)` — sha1 over shapes + index structure, the
+  cache key for "same sparsity, different values";
+- `get_sparse_kernel(...)` — an LRU of (KKT, MPCKernel, jitted fns) keyed
+  by (kind, fingerprint, options), so repeated solves of same-pattern
+  problems (MPC re-solves, benchmark repeats, suite instances sharing a
+  structure) skip symbolic analysis AND retrace entirely.
+
+The reference has no analog: its CHOLMOD/cuDSS handles keep symbolic
+objects alive per instance (src/linear_solver.jl), but tracing is not a
+cost it pays.  On TPU the trace is the dominant fixed cost, so kernel
+identity must be managed explicitly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import OrderedDict
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def canonical_csc(M: sp.spmatrix) -> sp.csc_matrix:
+    """Canonical CSC form: duplicates summed, indices sorted.  COO export
+    of this form (column-major) is the value order every sparse-KKT
+    consumer assumes."""
+    M = sp.csc_matrix(M)
+    M.sum_duplicates()
+    return M.sorted_indices()
+
+
+def canonical_coo_vals(M: sp.spmatrix) -> np.ndarray:
+    """Values of canonical_csc(M) in its COO (column-major) order."""
+    return canonical_csc(M).tocoo().data.copy()
+
+
+def pattern_fingerprint(A: sp.spmatrix,
+                        H: Optional[sp.spmatrix] = None) -> str:
+    """sha1 of the sparsity structure (not values) of A (and H)."""
+    h = hashlib.sha1()
+    for M in (A, H):
+        if M is None:
+            h.update(b"none")
+            continue
+        M = canonical_csc(M)
+        h.update(np.asarray(M.shape, np.int64).tobytes())
+        h.update(M.indptr.astype(np.int64).tobytes())
+        h.update(M.indices.astype(np.int64).tobytes())
+    return h.hexdigest()
+
+
+_KERNEL_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_KERNEL_CACHE_SIZE = 16  # each entry holds a symbolic schedule (MBs)
+
+
+def get_sparse_kernel(kind: str, fingerprint: str, opts, make_kkt):
+    """Return (kkt, kernel, jits) for this (kind, pattern, options),
+    building via make_kkt() on a miss.  jits is the same dict shape as
+    driver._jitted_kernel's."""
+    import jax
+
+    from .mpc import MPCKernel
+
+    key = (kind, fingerprint, opts)
+    hit = _KERNEL_CACHE.get(key)
+    if hit is not None:
+        _KERNEL_CACHE.move_to_end(key)
+        return hit
+    kkt = make_kkt()
+    kernel = MPCKernel(opts, kkt=kkt)
+    jits = {
+        "solve": jax.jit(kernel.solve_from),
+        "iter": jax.jit(kernel.iteration),
+        "init": jax.jit(kernel.init_state),
+        "warm_solve": jax.jit(kernel.solve_from_warm),
+        "warm_init": jax.jit(kernel.init_state_warm),
+    }
+    _KERNEL_CACHE[key] = (kkt, kernel, jits)
+    while len(_KERNEL_CACHE) > _KERNEL_CACHE_SIZE:
+        _KERNEL_CACHE.popitem(last=False)
+    return kkt, kernel, jits

@@ -250,14 +250,22 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     if not qp.is_lp:
         raise ValueError("solve_sparse_lp handles LPs only (use mq.solve).")
 
+    from .sparse_common import (canonical_coo_vals, get_sparse_kernel,
+                                pattern_fingerprint)
+
     opts, _ = load_options(**options)
     std, info, x0, y0 = build_standard_form_sparse(
         qp, scaling=opts.scaling, max_gradient=opts.max_gradient
     )
-    kkt = DeviceSparseNormalKKT(
-        std.A, order=order, mode=mode,
-        fact_dtype=opts.factorization_dtype or None,
-        inverse=(opts.solve_mode == "inverse"),
+    # Pattern-keyed kernel reuse: same sparsity + options => no symbolic
+    # re-analysis and no retrace (values are traced arguments).
+    kkt, kernel, jits = get_sparse_kernel(
+        f"lp:{order}:{mode}", pattern_fingerprint(std.A), opts,
+        lambda: DeviceSparseNormalKKT(
+            std.A, order=order, mode=mode,
+            fact_dtype=opts.factorization_dtype or None,
+            inverse=(opts.solve_mode == "inverse"),
+        ),
     )
     dtype = jnp.dtype(opts.dtype)
     prob = SparseLPProblem(
@@ -268,12 +276,9 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
         has_ub=jnp.asarray(std.has_ub),
         a_rows=jnp.asarray(kkt.coo_rows),
         a_cols=jnp.asarray(kkt.coo_cols),
-        a_vals=jnp.asarray(kkt.coo_vals, dtype),
+        a_vals=jnp.asarray(canonical_coo_vals(std.A), dtype),
     )
-    kernel = MPCKernel(opts)
-    kernel.kkt = kkt  # plug the structured KKT into the stock MPC core
-
-    solve = jax.jit(kernel.solve_from)
+    solve = jits["solve"]
     t0 = time.time()
     # TPU f32 matmuls default to bf16-pass precision — fatal for an f32
     # factorization.  Force full-f32 accumulation while tracing the solve.

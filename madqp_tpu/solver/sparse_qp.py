@@ -144,18 +144,27 @@ class DeviceSparseAugmentedKKT:
                 pos[(int(U.indices[p]), j)] = p
         self.nnz_up = int(U.nnz)
 
-        # Static base values: H (upper triangle) + A block.
-        base = np.zeros(self.nnz_up)
+        # Base-value scatter maps: H/A values are read from the TRACED
+        # problem arrays each factorize (not baked as constants) so one
+        # jitted kernel serves every problem with this sparsity pattern
+        # (see sparse_common.get_sparse_kernel).  h_sel selects the upper
+        # triangle (row<=col once each) out of the full symmetric H COO.
         if H is not None:
-            Hu = sp.triu(H.tocsr(), k=0).tocoo()
-            for i, j, v in zip(Hu.row, Hu.col, Hu.data):
-                base[pos[(int(i), int(j))]] += v
-        for r, cidx, v in zip(self.coo_rows, self.coo_cols, self.coo_vals):
-            # lower entry (n + r, c) -> upper key (c, n + r)
-            base[pos[(int(cidx), n + int(r))]] += v
+            Hcoo = H.tocoo()  # canonical CSC order — matches prob.h_vals
+            sel = Hcoo.row <= Hcoo.col
+            self.h_sel = np.flatnonzero(sel).astype(np.int32)
+            self.h_pos = np.asarray(
+                [pos[(int(i), int(j))]
+                 for i, j in zip(Hcoo.row[sel], Hcoo.col[sel])], np.int32)
+        else:
+            self.h_sel = np.zeros(0, np.int32)
+            self.h_pos = np.zeros(0, np.int32)
+        # A entry (r, c) sits at lower (n + r, c) -> upper key (c, n + r).
+        self.a_pos = np.asarray(
+            [pos[(int(cidx), n + int(r))]
+             for r, cidx in zip(self.coo_rows, self.coo_cols)], np.int32)
         # Symbolic constants stay NUMPY (see sparse_lp: device-resident
         # constants stall trace/lower through the remote TPU tunnel).
-        self._base = base
 
         self.wdiag_pos = np.asarray(
             [pos[(j, j)] for j in range(n)], np.int32
@@ -188,7 +197,10 @@ class DeviceSparseAugmentedKKT:
         self.expected_signs = SC.bucket_signs(self.bs, signs)
 
     def factorize(self, prob: SparseQPProblem, pr_diag, del_c):
-        kv = jnp.asarray(self._base, pr_diag.dtype)
+        kv = jnp.zeros(self.nnz_up, pr_diag.dtype)
+        if self.h_pos.size:
+            kv = kv.at[self.h_pos].add(prob.h_vals[self.h_sel])
+        kv = kv.at[self.a_pos].add(prob.a_vals)
         kv = kv.at[self.wdiag_pos].add(pr_diag)
         kv = kv.at[self.ddiag_pos].add(del_c)
         # K2.5 symmetric scaling: Ks = Ds K Ds with Ds = |diag(K)|^-1/2;
@@ -263,21 +275,30 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto", **options):
     from ..solver.mpc import MPCKernel
     from ..utils import load_options
 
+    from .sparse_common import (canonical_coo_vals, get_sparse_kernel,
+                                pattern_fingerprint)
+
     opts, _ = load_options(**options)
     std, info, x0, y0 = build_standard_form_sparse(
         qp, scaling=opts.scaling, max_gradient=opts.max_gradient
     )
-    kkt = DeviceSparseAugmentedKKT(
-        std.H, std.A, order=order,
-        fact_dtype=opts.factorization_dtype or None,
-        inverse=(opts.solve_mode == "inverse"),
+    # Pattern-keyed kernel reuse (see sparse_common): H/A values flow in
+    # through the traced problem arrays, so one jit serves every problem
+    # with this sparsity.
+    kkt, kernel, jits = get_sparse_kernel(
+        f"qp:{order}", pattern_fingerprint(std.A, std.H), opts,
+        lambda: DeviceSparseAugmentedKKT(
+            std.H, std.A, order=order,
+            fact_dtype=opts.factorization_dtype or None,
+            inverse=(opts.solve_mode == "inverse"),
+        ),
     )
     dtype = jnp.dtype(opts.dtype)
     if kkt.H is not None:
         Hcoo = kkt.H.tocoo()
         h_rows = jnp.asarray(Hcoo.row.astype(np.int32))
         h_cols = jnp.asarray(Hcoo.col.astype(np.int32))
-        h_vals = jnp.asarray(Hcoo.data, dtype)
+        h_vals = jnp.asarray(canonical_coo_vals(std.H), dtype)
     else:
         h_rows = jnp.zeros((0,), jnp.int32)
         h_cols = jnp.zeros((0,), jnp.int32)
@@ -290,15 +311,12 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto", **options):
         has_ub=jnp.asarray(std.has_ub),
         a_rows=jnp.asarray(kkt.coo_rows),
         a_cols=jnp.asarray(kkt.coo_cols),
-        a_vals=jnp.asarray(kkt.coo_vals, dtype),
+        a_vals=jnp.asarray(canonical_coo_vals(std.A), dtype),
         h_rows=h_rows,
         h_cols=h_cols,
         h_vals=h_vals,
     )
-    kernel = MPCKernel(opts)
-    kernel.kkt = kkt
-
-    solve = jax.jit(kernel.solve_from)
+    solve = jits["solve"]
     t0 = time.time()
     # TPU f32 matmuls default to bf16-pass precision — fatal for an f32
     # factorization.  Force full-f32 accumulation while tracing the solve.
