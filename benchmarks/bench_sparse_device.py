@@ -54,7 +54,7 @@ def main():
         args.m, args.n = qp.ncon, qp.nvar
     else:
         qp = mq.banded_sparse_lp(n=args.n, m=args.m, band=args.band, seed=0)
-    opts = dict(tol=args.tol, print_level=0)
+    opts = dict(tol=args.tol, print_level=40)  # 40 = ERROR = quiet
     if args.mixed_precision:
         opts.update(factorization_dtype="float32",
                     max_refine_steps=args.refine)
@@ -90,8 +90,12 @@ def main():
     print(json.dumps(rec))
 
     if args.host:
+        # normal-equations host KKT for LPs (the reference's CPU benchmark
+        # config, scripts/benchmarks_cpu.jl:33-45); print_level=40 (ERROR)
+        # is "quiet" — levels are logging thresholds, higher = less.
         t0 = time.time()
-        sh = mq.solve_host(qp, tol=args.tol, print_level=0)
+        sh = mq.solve_host(qp, tol=args.tol, print_level=40,
+                           kkt_system="normal" if qp.is_lp else "k2")
         host_t = time.time() - t0
         print(json.dumps({
             "metric": "sparse_host_ldl", "n": args.n, "m": args.m,

@@ -14,6 +14,7 @@ gather/segment-sum/dense-front compute.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -175,6 +176,19 @@ class DeviceSparseNormalKKT:
                 gmap[p] = pos[(a, bb)]
         self.value_gather = gmap
 
+        # f32 factorization of the (SPD but cond~1e8 near convergence)
+        # normal matrix breaks plain Cholesky from n≈4000: roundoff drives
+        # trailing pivots negative and the 3x100x regularization retries
+        # can't save it.  Route f32 through the pivot-floored LDL kernels
+        # (signs all +1) — the same cuDSS-style static pivoting the
+        # augmented path uses; iterative refinement absorbs the
+        # perturbation (reference hook: src/linear_solver.jl:28-43).
+        self.use_ldl = (self.fact_dtype == jnp.float32
+                        and mode == "batched")
+        if self.use_ldl:
+            self.expected_signs = SC.bucket_signs(self.symb, np.ones(m))
+            self.pivot_floor = 1e-6
+
     def factorize(self, prob: SparseLPProblem, pr_diag, del_c):
         if prob.H is not None:
             raise ValueError("NormalKKT supports only linear programs.")
@@ -199,7 +213,11 @@ class DeviceSparseNormalKKT:
             # Mixed precision (see sparse_qp): f32 factorization; the MPC
             # kernel's iterative refinement recovers f64.
             s_vals = s_vals.astype(self.fact_dtype)
-        if self.mode == "batched":
+        if self.use_ldl:
+            panels = SC.factorize_batched_ldl(
+                self.symb, s_vals, signs=self.expected_signs,
+                pivot_floor=self.pivot_floor, inverse=self.inverse)
+        elif self.mode == "batched":
             panels = SC.factorize_batched(self.symb, s_vals,
                                           inverse=self.inverse)
         else:
@@ -213,7 +231,10 @@ class DeviceSparseNormalKKT:
         out_dtype = r2.dtype
         if self.fact_dtype is not None and r2.dtype != self.fact_dtype:
             r2 = r2.astype(self.fact_dtype)
-        if self.mode == "batched":
+        if self.use_ldl:
+            dy = SC.solve_batched_ldl(self.symb, panels, r2,
+                                      inverse=self.inverse)
+        elif self.mode == "batched":
             dy = SC.solve_batched(self.symb, panels, r2,
                                   inverse=self.inverse)
         else:
@@ -225,6 +246,9 @@ class DeviceSparseNormalKKT:
     def factor_ok(self, factors):
         panels, D, _scale, _ = factors
         ok = jnp.all(D > 0)
+        if self.use_ldl:
+            return ok & SC.factor_ok_batched_ldl(panels,
+                                                 self.expected_signs)
         if self.mode == "batched":
             return ok & SC.factor_ok_batched(panels)
         for P in panels:
@@ -257,16 +281,30 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     std, info, x0, y0 = build_standard_form_sparse(
         qp, scaling=opts.scaling, max_gradient=opts.max_gradient
     )
-    # Pattern-keyed kernel reuse: same sparsity + options => no symbolic
-    # re-analysis and no retrace (values are traced arguments).
-    kkt, kernel, jits = get_sparse_kernel(
-        f"lp:{order}:{mode}", pattern_fingerprint(std.A), opts,
-        lambda: DeviceSparseNormalKKT(
-            std.A, order=order, mode=mode,
-            fact_dtype=opts.factorization_dtype or None,
-            inverse=(opts.solve_mode == "inverse"),
-        ),
-    )
+    fp = pattern_fingerprint(std.A)
+
+    def kernel_for(o):
+        # Pattern-keyed kernel reuse: same sparsity + options => no
+        # symbolic re-analysis and no retrace (values are traced args).
+        return get_sparse_kernel(
+            f"lp:{order}:{mode}", fp, o,
+            lambda: DeviceSparseNormalKKT(
+                std.A, order=order, mode=mode,
+                fact_dtype=o.factorization_dtype or None,
+                inverse=(o.solve_mode == "inverse"),
+            ),
+        )
+
+    two_phase = (opts.factorization_dtype == "float32"
+                 and opts.precision_scheme == "two-phase"
+                 and opts.tol < opts.phase1_tol)
+    if two_phase:
+        opts1 = dataclasses.replace(opts, tol=opts.phase1_tol)
+        opts2 = dataclasses.replace(opts, factorization_dtype="")
+    else:
+        opts1, opts2 = opts, None
+
+    kkt, kernel, jits = kernel_for(opts1)
     dtype = jnp.dtype(opts.dtype)
     prob = SparseLPProblem(
         c0=jnp.asarray(std.c0, dtype),
@@ -278,14 +316,26 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
         a_cols=jnp.asarray(kkt.coo_cols),
         a_vals=jnp.asarray(canonical_coo_vals(std.A), dtype),
     )
-    solve = jits["solve"]
+    lb = jnp.asarray(std.lb, dtype)
+    ub = jnp.asarray(std.ub, dtype)
     t0 = time.time()
     # TPU f32 matmuls default to bf16-pass precision — fatal for an f32
     # factorization.  Force full-f32 accumulation while tracing the solve.
     with jax.default_matmul_precision("highest"):
         final = jax.block_until_ready(
-            solve(prob, jnp.asarray(x0, dtype), jnp.asarray(y0, dtype),
-                  jnp.asarray(std.lb, dtype), jnp.asarray(std.ub, dtype))
+            jits["solve"](prob, jnp.asarray(x0, dtype),
+                          jnp.asarray(y0, dtype), lb, ub)
         )
+        extra = 0
+        if two_phase:
+            # f64 endgame warm-started from the f32 phase's iterate: f32
+            # factors of a cond>1e7 KKT stall short of 1e-8 (IR cannot
+            # recover it), so the last few iterations pay f64.
+            extra = int(final.k)
+            _, _, jits2 = kernel_for(opts2)
+            final = jax.block_until_ready(
+                jits2["warm_solve"](prob, final.x, final.y,
+                                    final.zl, final.zu, lb, ub)
+            )
     wall = time.time() - t0
-    return finish_stats(qp, info, opts, final, wall)
+    return finish_stats(qp, info, opts, final, wall, extra_iters=extra)

@@ -18,6 +18,7 @@ is_inertia_correct generalized to the augmented system.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from typing import NamedTuple, Optional
 
@@ -235,9 +236,12 @@ class DeviceSparseAugmentedKKT:
         return SC.factor_ok_batched_ldl(ldl, self.expected_signs)
 
 
-def finish_stats(qp: QuadraticProblem, info, opts, final, wall):
+def finish_stats(qp: QuadraticProblem, info, opts, final, wall,
+                 extra_iters: int = 0):
     """Map the internal terminal IPM state back to user coordinates and
-    package ExecutionStats (shared by the sparse device drivers)."""
+    package ExecutionStats (shared by the sparse device drivers).
+    extra_iters: iterations spent in an earlier phase (two-phase mixed
+    precision) to include in the reported count."""
     from ..solver.driver import _STATUS_MAP
     from ..utils import Counters, ExecutionStats, Status
 
@@ -260,8 +264,8 @@ def finish_stats(qp: QuadraticProblem, info, opts, final, wall):
         multipliers=y_user,
         multipliers_L=zl_user,
         multipliers_U=zu_user,
-        iter=int(final.k),
-        counters=Counters(total_time=wall, k=int(final.k)),
+        iter=int(final.k) + extra_iters,
+        counters=Counters(total_time=wall, k=int(final.k) + extra_iters),
         primal_feas=float(final.inf_pr),
         dual_feas=float(final.inf_du),
         complementarity=float(final.inf_compl),
@@ -282,17 +286,31 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto", **options):
     std, info, x0, y0 = build_standard_form_sparse(
         qp, scaling=opts.scaling, max_gradient=opts.max_gradient
     )
-    # Pattern-keyed kernel reuse (see sparse_common): H/A values flow in
-    # through the traced problem arrays, so one jit serves every problem
-    # with this sparsity.
-    kkt, kernel, jits = get_sparse_kernel(
-        f"qp:{order}", pattern_fingerprint(std.A, std.H), opts,
-        lambda: DeviceSparseAugmentedKKT(
-            std.H, std.A, order=order,
-            fact_dtype=opts.factorization_dtype or None,
-            inverse=(opts.solve_mode == "inverse"),
-        ),
-    )
+    fp = pattern_fingerprint(std.A, std.H)
+
+    def kernel_for(o):
+        # Pattern-keyed kernel reuse (see sparse_common): H/A values flow
+        # in through the traced problem arrays, so one jit serves every
+        # problem with this sparsity.
+        return get_sparse_kernel(
+            f"qp:{order}", fp, o,
+            lambda: DeviceSparseAugmentedKKT(
+                std.H, std.A, order=order,
+                fact_dtype=o.factorization_dtype or None,
+                inverse=(o.solve_mode == "inverse"),
+            ),
+        )
+
+    two_phase = (opts.factorization_dtype == "float32"
+                 and opts.precision_scheme == "two-phase"
+                 and opts.tol < opts.phase1_tol)
+    if two_phase:
+        opts1 = dataclasses.replace(opts, tol=opts.phase1_tol)
+        opts2 = dataclasses.replace(opts, factorization_dtype="")
+    else:
+        opts1, opts2 = opts, None
+
+    kkt, kernel, jits = kernel_for(opts1)
     dtype = jnp.dtype(opts.dtype)
     if kkt.H is not None:
         Hcoo = kkt.H.tocoo()
@@ -316,14 +334,24 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto", **options):
         h_cols=h_cols,
         h_vals=h_vals,
     )
-    solve = jits["solve"]
+    lb = jnp.asarray(std.lb, dtype)
+    ub = jnp.asarray(std.ub, dtype)
     t0 = time.time()
     # TPU f32 matmuls default to bf16-pass precision — fatal for an f32
     # factorization.  Force full-f32 accumulation while tracing the solve.
     with jax.default_matmul_precision("highest"):
         final = jax.block_until_ready(
-            solve(prob, jnp.asarray(x0, dtype), jnp.asarray(y0, dtype),
-                  jnp.asarray(std.lb, dtype), jnp.asarray(std.ub, dtype))
+            jits["solve"](prob, jnp.asarray(x0, dtype),
+                          jnp.asarray(y0, dtype), lb, ub)
         )
+        extra = 0
+        if two_phase:
+            # f64 endgame warm-started from the f32 phase (see sparse_lp).
+            extra = int(final.k)
+            _, _, jits2 = kernel_for(opts2)
+            final = jax.block_until_ready(
+                jits2["warm_solve"](prob, final.x, final.y,
+                                    final.zl, final.zu, lb, ub)
+            )
     wall = time.time() - t0
-    return finish_stats(qp, info, opts, final, wall)
+    return finish_stats(qp, info, opts, final, wall, extra_iters=extra)

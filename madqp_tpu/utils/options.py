@@ -144,6 +144,13 @@ class IPMOptions:
     # backsolves share one factorization (large max_ncorr / many refinement
     # steps).  Combine 'inverse' with max_refine_steps >= 1.
     solve_mode: str = "chol"
+    # Sparse mixed precision (factorization_dtype='float32' on the sparse
+    # device paths): 'two-phase' runs the f32 kernel to phase1_tol then a
+    # warm-started f64 endgame to tol — f32 factors of a cond>1e7 KKT stall
+    # short of 1e-8 no matter how much refinement is applied, so the last
+    # few iterations must pay f64.  'simple' = single-phase f32+IR.
+    precision_scheme: str = "two-phase"
+    phase1_tol: float = 1e-3
     # Output
     print_level: int = 20       # logging.INFO
     file_print_level: int = 20

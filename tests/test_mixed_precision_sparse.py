@@ -1,0 +1,62 @@
+"""Sparse mixed precision: pivot-floored f32 LDL + two-phase f64 endgame.
+
+Plain f32 Cholesky of the normal equations breaks (negative pivots) from
+n≈4000 as the barrier diagonal spans 1e±8, and f32 factors of a cond>1e7
+system stall short of tol=1e-8 no matter how many refinement steps are
+applied.  The shipped scheme: f32 phase with cuDSS-style pivot
+perturbation to phase1_tol, then a warm-started f64 endgame
+(precision_scheme='two-phase', utils/options.py)."""
+
+import numpy as np
+import pytest
+
+import madqp_tpu as mq
+
+
+@pytest.fixture(scope="module")
+def banded():
+    return mq.banded_sparse_lp(n=4000, m=2000, band=5, seed=0)
+
+
+def test_lp_two_phase_reaches_tol(banded):
+    st = mq.solve_sparse_lp(banded, tol=1e-8, print_level=0,
+                            factorization_dtype="float32",
+                            max_refine_steps=2)
+    ref = mq.solve_sparse_lp(banded, tol=1e-8, print_level=0)
+    assert st.status == mq.Status.SOLVE_SUCCEEDED
+    assert st.primal_feas < 1e-8 and st.dual_feas < 1e-8
+    assert st.objective == pytest.approx(ref.objective, rel=1e-9)
+    # phase-1 + phase-2 iterations should stay near the f64 count
+    assert st.iter <= ref.iter + 6
+
+
+def test_lp_simple_scheme_does_not_crash(banded):
+    """precision_scheme='simple' keeps the old single-phase behavior:
+    the pivot floor prevents hard factorization failure (status 6) even
+    where it cannot reach 1e-8."""
+    st = mq.solve_sparse_lp(banded, tol=1e-8, print_level=0, max_iter=40,
+                            factorization_dtype="float32",
+                            max_refine_steps=2,
+                            precision_scheme="simple")
+    assert st.status in (mq.Status.SOLVE_SUCCEEDED,
+                         mq.Status.MAXIMUM_ITERATIONS_EXCEEDED)
+
+
+def test_qp_two_phase_matches_f64():
+    from madqp_tpu.models.suite import svm_qp
+
+    qp = svm_qp(200, 30, seed=1)
+    st = mq.solve_sparse_qp(qp, tol=1e-8, print_level=0,
+                            factorization_dtype="float32",
+                            max_refine_steps=2)
+    ref = mq.solve_sparse_qp(qp, tol=1e-8, print_level=0)
+    assert st.status == mq.Status.SOLVE_SUCCEEDED
+    assert st.objective == pytest.approx(ref.objective, rel=1e-7)
+
+
+def test_two_phase_disabled_when_tol_loose(banded):
+    """tol >= phase1_tol runs single-phase (no pointless f64 endgame)."""
+    st = mq.solve_sparse_lp(banded, tol=1e-3, print_level=0,
+                            factorization_dtype="float32",
+                            max_refine_steps=2)
+    assert st.status == mq.Status.SOLVE_SUCCEEDED
