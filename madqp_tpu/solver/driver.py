@@ -146,6 +146,9 @@ class MPCSolver:
             self._sparse_make = lambda: DeviceSparseNormalKKT(
                 self.std.A, fact_dtype=fact_dtype, inverse=inverse,
             )
+            self._sparse_make_f64 = lambda: DeviceSparseNormalKKT(
+                self.std.A, fact_dtype=None, inverse=inverse,
+            )
             kkt, kernel, jits = get_sparse_kernel(
                 self._sparse_kind, self._sparse_fp, opts, self._sparse_make)
             self.prob = SparseLPProblem(
@@ -164,6 +167,9 @@ class MPCSolver:
             self._sparse_make = lambda: DeviceSparseAugmentedKKT(
                 self.std.H, self.std.A, fact_dtype=fact_dtype,
                 inverse=inverse,
+            )
+            self._sparse_make_f64 = lambda: DeviceSparseAugmentedKKT(
+                self.std.H, self.std.A, fact_dtype=None, inverse=inverse,
             )
             kkt, kernel, jits = get_sparse_kernel(
                 self._sparse_kind, self._sparse_fp, opts, self._sparse_make)
@@ -208,6 +214,45 @@ class MPCSolver:
             # the cache (opts is part of the key).
             from .sparse_common import get_sparse_kernel
 
+            two_phase = (opts.factorization_dtype == "float32"
+                         and opts.precision_scheme == "two-phase"
+                         and opts.tol < opts.phase1_tol)
+            if two_phase:
+                # f32 kernel to phase1_tol, then a warm-started f64
+                # endgame (see solver/sparse_lp.py for the rationale).
+                # The python/verbose loop path uses the f32 iteration
+                # only; two-phase applies to the jitted solve entries.
+                import dataclasses as _dc
+
+                opts1 = _dc.replace(opts, tol=opts.phase1_tol)
+                opts2 = _dc.replace(opts, factorization_dtype="")
+                kkt, kernel, jits1 = get_sparse_kernel(
+                    self._sparse_kind, self._sparse_fp, opts1,
+                    self._sparse_make)
+                _, _, jits2 = get_sparse_kernel(
+                    self._sparse_kind, self._sparse_fp, opts2,
+                    self._sparse_make_f64)
+
+                def _solve2(prob, x0, y0, lb, ub):
+                    f1 = jits1["solve"](prob, x0, y0, lb, ub)
+                    f2 = jits2["warm_solve"](prob, f1.x, f1.y,
+                                             f1.zl, f1.zu, lb, ub)
+                    return f2._replace(k=f1.k + f2.k)
+
+                def _warm2(prob, x0, y0, zl0, zu0, lb, ub):
+                    f1 = jits1["warm_solve"](prob, x0, y0, zl0, zu0, lb, ub)
+                    f2 = jits2["warm_solve"](prob, f1.x, f1.y,
+                                             f1.zl, f1.zu, lb, ub)
+                    return f2._replace(k=f1.k + f2.k)
+
+                self._sparse_kkt = kkt
+                self.kernel = kernel
+                self._solve_jit = _solve2
+                self._iter_jit = jits1["iter"]
+                self._init_jit = jits1["init"]
+                self._warm_solve_jit = _warm2
+                self._warm_init_jit = jits1["warm_init"]
+                return
             kkt, kernel, jits = get_sparse_kernel(
                 self._sparse_kind, self._sparse_fp, opts, self._sparse_make)
             self._sparse_kkt = kkt

@@ -60,3 +60,16 @@ def test_two_phase_disabled_when_tol_loose(banded):
                             factorization_dtype="float32",
                             max_refine_steps=2)
     assert st.status == mq.Status.SOLVE_SUCCEEDED
+
+
+def test_driver_two_phase_sparse_normal(banded):
+    """MPCSolver with kkt_system='sparse-normal' + f32 also runs the
+    two-phase scheme (driver._bind_kernel)."""
+    st = mq.MPCSolver(banded, kkt_system="sparse-normal", tol=1e-8,
+                      print_level=40, factorization_dtype="float32",
+                      max_refine_steps=2).solve()
+    ref = mq.MPCSolver(banded, kkt_system="sparse-normal", tol=1e-8,
+                       print_level=40).solve()
+    assert st.status == mq.Status.SOLVE_SUCCEEDED
+    assert st.primal_feas < 1e-8 and st.dual_feas < 1e-8
+    assert st.objective == pytest.approx(ref.objective, rel=1e-9)
