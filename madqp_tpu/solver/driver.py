@@ -220,8 +220,8 @@ class MPCSolver:
             if two_phase:
                 # f32 kernel to phase1_tol, then a warm-started f64
                 # endgame (see solver/sparse_lp.py for the rationale).
-                # The python/verbose loop path uses the f32 iteration
-                # only; two-phase applies to the jitted solve entries.
+                # The python/verbose loop chains the same two phases
+                # host-side via self._phase2.
                 import dataclasses as _dc
 
                 opts1 = _dc.replace(opts, tol=opts.phase1_tol)
@@ -252,6 +252,7 @@ class MPCSolver:
                 self._init_jit = jits1["init"]
                 self._warm_solve_jit = _warm2
                 self._warm_init_jit = jits1["warm_init"]
+                self._phase2 = (jits2["warm_init"], jits2["iter"])
                 return
             kkt, kernel, jits = get_sparse_kernel(
                 self._sparse_kind, self._sparse_fp, opts, self._sparse_make)
@@ -262,7 +263,9 @@ class MPCSolver:
             self._init_jit = jits["init"]
             self._warm_solve_jit = jits["warm_solve"]
             self._warm_init_jit = jits["warm_init"]
+            self._phase2 = None
             return
+        self._phase2 = None
         fns = _jitted_kernel(opts)
         self.kernel = fns["kernel"]
         self._solve_jit = fns["solve"]
@@ -478,24 +481,44 @@ class MPCSolver:
             state = self._init_jit(
                 self.prob, self._x0, self._y0, self._lb0, self._ub0
             )
-        while int(state.status) == S.RUNNING:
-            if time.time() > deadline:
-                self._walltime_exceeded = True
-                return state
-            prev = state
-            state = self._iter_jit(self.prob, prev)
+        def run(iter_jit, state, k_off):
+            while int(state.status) == S.RUNNING:
+                if time.time() > deadline:
+                    self._walltime_exceeded = True
+                    return state
+                prev = state
+                state = iter_jit(self.prob, prev)
+                if verbose:
+                    self.logger.print_iter(
+                        k_off + int(prev.k),
+                        float(state.obj_val) / scale,
+                        float(state.inf_pr),
+                        float(state.inf_du),
+                        float(prev.mu),
+                        float(prev.d_norm),
+                        float(prev.del_w),
+                        float(prev.alpha_d),
+                        float(prev.alpha_p),
+                    )
+            return state
+
+        state = run(self._iter_jit, state, 0)
+        if getattr(self, "_phase2", None) is not None \
+                and not self._walltime_exceeded:
+            # Two-phase mixed precision: chain the warm-started f64
+            # endgame exactly like the jitted _solve2 path (which chains
+            # unconditionally — a failed f32 phase still hands its best
+            # iterate to the f64 kernel).
+            warm_init2, iter2 = self._phase2
+            k1 = int(state.k)
             if verbose:
-                self.logger.print_iter(
-                    int(prev.k),
-                    float(state.obj_val) / scale,
-                    float(state.inf_pr),
-                    float(state.inf_du),
-                    float(prev.mu),
-                    float(prev.d_norm),
-                    float(prev.del_w),
-                    float(prev.alpha_d),
-                    float(prev.alpha_p),
-                )
+                self.logger.notice(
+                    f"Phase 1 (f32) done at iter {k1}; "
+                    "switching to f64 endgame\n")
+            state2 = warm_init2(self.prob, state.x, state.y,
+                                state.zl, state.zu, self._lb0, self._ub0)
+            state2 = run(iter2, state2, k1)
+            state = state2._replace(k=state.k + state2.k)
         return state
 
     # ------------------------------------------------------------------

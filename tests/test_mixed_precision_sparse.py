@@ -62,6 +62,18 @@ def test_two_phase_disabled_when_tol_loose(banded):
     assert st.status == mq.Status.SOLVE_SUCCEEDED
 
 
+def test_driver_two_phase_python_loop(banded):
+    """The host-stepped loop (loop_mode='python', used for verbose /
+    wall-time-limited solves) chains the same f32→f64 two-phase scheme
+    as the jitted path (driver._run_python_loop)."""
+    st = mq.MPCSolver(banded, kkt_system="sparse-normal", tol=1e-8,
+                      print_level=40, loop_mode="python",
+                      factorization_dtype="float32",
+                      max_refine_steps=2).solve()
+    assert st.status == mq.Status.SOLVE_SUCCEEDED
+    assert st.primal_feas < 1e-8 and st.dual_feas < 1e-8
+
+
 def test_driver_two_phase_sparse_normal(banded):
     """MPCSolver with kkt_system='sparse-normal' + f32 also runs the
     two-phase scheme (driver._bind_kernel)."""
