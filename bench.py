@@ -97,7 +97,47 @@ def main():
             "factorization_dtype": opts.factorization_dtype or str(dtype),
         },
     }
+    # Secondary metric (best-effort, never breaks the headline): batched
+    # lockstep throughput — the regime where the TPU wins outright
+    # (BASELINE config #4; BENCH_NOTES "Batched instances").
+    try:
+        result["detail"]["batched"] = _batched_throughput(mq)
+    except Exception as e:  # pragma: no cover - defensive
+        result["detail"]["batched_error"] = repr(e)
     print(json.dumps(result))
+
+
+def _batched_throughput(mq, batch=512, n=32, m=16):
+    """Instances/s for a vmapped lockstep solve of `batch` small QPs
+    (per-instance convergence masking; benchmarks/bench_batched.py)."""
+    from madqp_tpu.parallel import BatchedMPCSolver
+
+    qps = [mq.dense_dummy_qp(n, m, seed=i) for i in range(batch)]
+    solver = BatchedMPCSolver.from_problems(
+        qps, tol=1e-8, print_level=40,
+        step_rule=mq.AdaptiveStep(0.995),
+        regularization=mq.FixedRegularization(1e-8, -1e-8),
+        factorization_dtype="float32", max_refine_steps=1)
+    t0 = time.time()
+    solver.solve_batch()  # warm-up (compile)
+    compile_and_first = time.time() - t0
+    # Timed runs over value-perturbed problems: identical repeated
+    # requests can be served from caches in the device tunnel.
+    reps = 3
+    t0 = time.time()
+    for r in range(1, reps + 1):
+        prob_r = solver.prob._replace(c=solver.prob.c * (1.0 + 1e-4 * r))
+        final = solver.solve_batch(prob_r)
+    wall = (time.time() - t0) / reps
+    ok = sum(int(s) == 1 for s in final.status[: solver.n_real])
+    return {
+        "metric": f"qp_batched{batch}_instances_per_s",
+        "value": round(batch / wall, 1),
+        "unit": "instances/s",
+        "batch": batch, "n": n, "m": m, "solved": ok,
+        "wall_s": round(wall, 4),
+        "compile_plus_first_s": round(compile_and_first, 3),
+    }
 
 
 if __name__ == "__main__":
