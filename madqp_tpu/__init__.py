@@ -58,6 +58,9 @@ from .models import (  # noqa: E402
     random_lp,
     random_qp,
     banded_sparse_lp,
+    grid_lp,
+    grid3d_lp,
+    netflow_grid_lp,
     scale_qp,
     unscale_stats,
     presolve_qp,
@@ -109,4 +112,7 @@ __all__ = [
     "solve_sparse_lp",
     "solve_sparse_qp",
     "banded_sparse_lp",
+    "grid_lp",
+    "grid3d_lp",
+    "netflow_grid_lp",
 ]

@@ -7,7 +7,8 @@ from .qp import (
     build_standard_form_sparse,
     from_coo,
 )
-from .generators import dense_dummy_qp, simple_lp, random_lp, random_qp, banded_sparse_lp
+from .generators import (dense_dummy_qp, simple_lp, random_lp, random_qp,
+                         banded_sparse_lp, grid_lp, grid3d_lp, netflow_grid_lp)
 from .scaling import scale_qp, ruiz_scaling_factors, unscale_stats, RuizScaling
 from .presolve import presolve_qp, PresolveInfo, PresolveStatus
 
@@ -24,6 +25,9 @@ __all__ = [
     "random_lp",
     "random_qp",
     "banded_sparse_lp",
+    "grid_lp",
+    "grid3d_lp",
+    "netflow_grid_lp",
     "scale_qp",
     "ruiz_scaling_factors",
     "unscale_stats",

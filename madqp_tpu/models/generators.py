@@ -214,3 +214,79 @@ def grid_lp(g: int = 100, seed: int = 0) -> QuadraticProblem:
         y0=np.zeros(m),
         name=f"grid_lp_{g}",
     )
+
+
+def grid3d_lp(g: int = 12, seed: int = 0) -> QuadraticProblem:
+    """LP on a g x g x g 3D grid: [L3 | I] x = b with L3 the 7-point
+    Laplacian stencil (+6 diagonal), x >= 0.
+
+    3D meshes are nested dissection's home turf (separator theory gives
+    O(n^{4/3}) fill for ND vs much worse for minimum-degree on large 3D
+    grids) — the strongest validation case for the order='auto' cost
+    model (ops/sparse_chol.py::analyze_batched).
+    """
+    rng = np.random.default_rng(seed)
+    m = g * g * g
+    n = 2 * m
+    idx = np.arange(m).reshape(g, g, g)
+    rows, cols, vals = [], [], []
+    rows.append(idx.ravel()); cols.append(idx.ravel())
+    vals.append(np.full(m, 6.0))
+    for ax in range(3):
+        lo = np.take(idx, np.arange(g - 1), axis=ax).ravel()
+        hi = np.take(idx, np.arange(1, g), axis=ax).ravel()
+        rows.extend([lo, hi]); cols.extend([hi, lo])
+        vals.extend([np.full(lo.size, -1.0)] * 2)
+    rows = np.concatenate(rows); cols = np.concatenate(cols)
+    vals = np.concatenate(vals)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsr()
+    A = sp.hstack([A, sp.identity(m, format="csr")], format="csr")
+    x_feas = rng.uniform(0.5, 2.0, n)
+    b = np.asarray(A @ x_feas).ravel()
+    return QuadraticProblem(
+        c=rng.uniform(0.1, 1.0, n),
+        A=A,
+        lcon=b, ucon=b,
+        lvar=np.zeros(n), uvar=np.full(n, np.inf),
+        name=f"grid3d_lp_{g}",
+    )
+
+
+def netflow_grid_lp(g: int = 20, seed: int = 0) -> QuadraticProblem:
+    """Min-cost network flow on a g x g grid graph (node-arc incidence).
+
+    A classic real-LP structure (Netlib's KEN/PDS families are network
+    LPs): variables are directed arc flows on the 4-neighbor grid with
+    capacities, constraints are node balances.  A A' is (degree-shifted)
+    the grid's graph Laplacian — a 2D-mesh pattern for the ordering
+    cost model, arrived at through an incidence matrix rather than a
+    stencil.  One node balance is dropped (flow conservation makes the
+    system rank-deficient otherwise).
+    """
+    rng = np.random.default_rng(seed)
+    nodes = g * g
+    idx = np.arange(nodes).reshape(g, g)
+    tails, heads = [], []
+    for ax in (0, 1):
+        lo = np.take(idx, np.arange(g - 1), axis=ax).ravel()
+        hi = np.take(idx, np.arange(1, g), axis=ax).ravel()
+        tails.extend([lo, hi]); heads.extend([hi, lo])
+    tails = np.concatenate(tails); heads = np.concatenate(heads)
+    narc = tails.size
+    arc = np.arange(narc)
+    # incidence: +1 at tail, -1 at head
+    N = sp.coo_matrix(
+        (np.concatenate([np.ones(narc), -np.ones(narc)]),
+         (np.concatenate([tails, heads]), np.concatenate([arc, arc]))),
+        shape=(nodes, narc)).tocsr()
+    # supply/demand from a feasible circulation: b = N @ f for interior f
+    f_feas = rng.uniform(0.3, 0.7, narc)
+    b = np.asarray(N @ f_feas).ravel()
+    keep = np.arange(1, nodes)  # drop node 0's (redundant) balance row
+    return QuadraticProblem(
+        c=rng.uniform(1.0, 4.0, narc),
+        A=N[keep],
+        lcon=b[keep], ucon=b[keep],
+        lvar=np.zeros(narc), uvar=np.ones(narc),  # unit capacities
+        name=f"netflow_grid_lp_{g}",
+    )

@@ -163,3 +163,53 @@ def test_nd_order_disconnected_graph():
     A = sp.block_diag(blocks, format="csc")
     p = nd_order(A)
     assert np.array_equal(np.sort(p), np.arange(A.shape[0]))
+
+
+class TestMeshOrderingSelection:
+    """order='auto' validation on realistic mesh families (generators
+    grid_lp / grid3d_lp / netflow_grid_lp): ND must beat AMD under the
+    device cost model on 2D/3D mesh normal matrices, and auto must always
+    take the cheaper schedule."""
+
+    @staticmethod
+    def _normal(qp):
+        A = sp.csr_matrix(qp.A)
+        return ((A @ A.T).tocsc() + sp.identity(A.shape[0], format="csc"))
+
+    def _families(self):
+        import madqp_tpu as mq
+
+        return [mq.grid_lp(30), mq.grid3d_lp(10), mq.netflow_grid_lp(30)]
+
+    def test_auto_matches_min_cost(self):
+        from madqp_tpu.ops import sparse_chol as SC
+
+        for qp in self._families():
+            M = self._normal(qp)
+            costs = {o: SC.schedule_cost(SC.analyze_batched(M, order=o))
+                     for o in ("amd", "nd")}
+            auto = SC.schedule_cost(SC.analyze_batched(M, order="auto"))
+            assert auto == min(costs.values()), (qp.name, costs, auto)
+
+    def test_nd_beats_amd_on_meshes(self):
+        from madqp_tpu.ops import sparse_chol as SC
+
+        for qp in self._families():
+            M = self._normal(qp)
+            c_amd = SC.schedule_cost(SC.analyze_batched(M, order="amd"))
+            c_nd = SC.schedule_cost(SC.analyze_batched(M, order="nd"))
+            assert c_nd < c_amd, (qp.name, c_amd, c_nd)
+
+    def test_nd_factorization_exact_on_netflow(self):
+        import jax.numpy as jnp
+        import madqp_tpu as mq
+        from madqp_tpu.ops import sparse_chol as SC
+
+        M = self._normal(mq.netflow_grid_lp(20))
+        bs = SC.analyze_batched(M, order="nd")
+        panels = SC.factorize_batched(bs, jnp.asarray(bs.permute_values(M)))
+        assert bool(SC.factor_ok_batched(panels))
+        rng_ = np.random.default_rng(2)
+        b = rng_.standard_normal(M.shape[0])
+        x = np.asarray(SC.solve_batched(bs, panels, jnp.asarray(b)))
+        assert np.abs(M @ x - b).max() < 1e-8

@@ -80,3 +80,18 @@ def test_sparse_lp_rejects_qp():
     qp = mq.models.generators.random_qp(n=20, m=10, seed=0)
     with pytest.raises(ValueError):
         solve_sparse_lp(qp)
+
+
+@pytest.mark.parametrize("make,arg", [
+    ("grid3d_lp", 8), ("netflow_grid_lp", 14),
+], ids=["grid3d", "netflow"])
+def test_mesh_families_solve_to_optimality(make, arg):
+    """Realistic mesh LPs (3D Laplacian, grid min-cost flow) solve on the
+    on-device sparse path with order='auto' (ND on mesh normal matrices)."""
+    qp = getattr(mq, make)(arg)
+    st = mq.solve_sparse_lp(qp, tol=1e-8, print_level=40)
+    assert st.status == mq.Status.SOLVE_SUCCEEDED
+    assert st.primal_feas < 1e-8 and st.dual_feas < 1e-8
+    # cross-check the objective against the dense reference solver
+    ref = mq.solve(qp, tol=1e-8, print_level=40)
+    assert st.objective == pytest.approx(ref.objective, rel=1e-7)
