@@ -47,6 +47,12 @@ def run_instance(name, qp, options):
         qp_p, pinfo, ok = mq.presolve_qp(qp)
         if not ok:
             record["status"] = f"presolve:{pinfo.status.value}"
+            if pinfo.status.value == "solved":
+                # fully reduced: presolve determined the solution
+                import numpy as _np
+                x = pinfo.postsolve_x(_np.zeros(0))
+                record["objective"] = float(qp.obj(x))
+                record["iter"] = 0
             return record
         qp_s, scaling = mq.scale_qp(qp_p)
         t0 = time.time()

@@ -81,6 +81,7 @@ def parse_mps(f: TextIO, name: str = "mps") -> QuadraticProblem:
         return col_index[cname]
 
     pending_objsense = False
+    saw_rows = False
     for raw in f:
         line = raw.rstrip("\n")
         if not line.strip() or line.lstrip().startswith("*"):
@@ -101,6 +102,8 @@ def parse_mps(f: TextIO, name: str = "mps") -> QuadraticProblem:
                           "QUADOBJ", "QMATRIX", "QSECTION", "ENDATA",
                           "OBJECT", "SOS"):
                 section = head
+                if head == "ROWS":
+                    saw_rows = True
                 if head == "ENDATA":
                     break
             else:
@@ -216,6 +219,12 @@ def parse_mps(f: TextIO, name: str = "mps") -> QuadraticProblem:
             qi.append(get_col(c1))
             qj.append(get_col(c2))
             qv.append(val)
+
+    if not saw_rows:
+        # Unknown *section* lines are skipped (SIF files carry extras), but a
+        # file with no ROWS section at all is not MPS — without this check
+        # arbitrary text parses as an empty, trivially "solved" problem.
+        raise ValueError(f"{name}: not an MPS/QPS file (no ROWS section)")
 
     n = len(col_names)
     m = len(row_names)

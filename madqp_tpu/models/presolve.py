@@ -1,25 +1,44 @@
-"""Presolve-lite: conservative reductions with exact postsolve.
+"""Presolve: iterated conservative reductions with exact primal AND dual
+postsolve.
 
 Equivalent of the reference's `presolve_qp` (scripts/common.jl:102-126, which
-delegates to QuadraticModels.presolve).  Implemented reductions:
+delegates to QuadraticModels.presolve).  Implemented reductions, iterated to a
+fixpoint (each pass works in the ORIGINAL index space with alive masks, so the
+postsolve operations stack can be replayed exactly):
 
-  * empty constraint rows — dropped (declared infeasible if 0 not in
-    [lcon, ucon]);
-  * empty columns (no A entries, no H entries) — fixed at the bound implied
-    by the gradient sign, or declared unbounded for an LP with an open bound
-    in the descent direction;
+  * bound/row-range sanity (lvar > uvar or lcon > ucon -> infeasible);
+  * fixed variables (lvar == uvar) -- substituted out, with Hessian cross
+    terms folded into c and the constant into c0;
+  * empty constraint rows -- dropped (infeasible if 0 not in [lcon, ucon]);
+  * singleton equality rows -- the variable is fixed at b/a (infeasible if
+    that violates its bounds); the dropped row's multiplier is recovered in
+    postsolve from the stationarity residual;
+  * singleton inequality rows -- converted into (possibly tighter) bounds on
+    the variable; postsolve moves the bound multiplier back onto the row
+    when the implied bound is the binding one;
+  * free column singletons on equality rows (LP columns) -- variable and row
+    substituted out (the classic Netlib reduction); x_j and y_i recovered in
+    closed form in postsolve;
+  * empty columns -- fixed at the bound implied by the gradient sign (or at
+    the 1-d minimizer -c_j/H_jj for a diagonal-only Hessian column), or
+    declared unbounded;
   * detection of trivially solved problems (no rows and no cols left).
 
 Returns (presolved_qp, info, flag): flag=False means the problem was solved,
 declared infeasible or unbounded during presolve (matching the reference's
 convention of returning the original problem with flag=false).
+
+Dual reconstruction follows the solver's stationarity convention
+(ops/kernels.py::dual_infeasibility):  g + A'y - zl + zu = 0,  zl, zu >= 0.
+`PresolveInfo.postsolve_stats` maps a reduced-problem ExecutionStats back to
+the original space with that identity holding exactly.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import List, Optional
+from typing import Any, List, Optional, Tuple
 
 import numpy as np
 import scipy.sparse as sp
@@ -35,6 +54,62 @@ class PresolveStatus(enum.Enum):
     UNBOUNDED = "unbounded"
 
 
+# ---------------------------------------------------------------------------
+# Postsolve operations (recorded during presolve, replayed in reverse)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _FixGroup:
+    """Columns fixed at values (substituted out).  z_j recovered at the end
+    from the original stationarity residual."""
+
+    cols: np.ndarray
+    vals: np.ndarray
+
+
+@dataclasses.dataclass
+class _DropEqSingletonRow:
+    """Equality row i with single alive entry a at column j; x_j was fixed at
+    b/a by a _FixGroup recorded AFTER this op.  Postsolve puts the whole
+    stationarity residual of column j on y_i (z_j = 0)."""
+
+    row: int
+    col: int
+    coef: float
+
+
+@dataclasses.dataclass
+class _DropIneqSingletonRow:
+    """Inequality row i (single alive entry a at column j) turned into bounds
+    on x_j.  Stores the variable bounds before/after tightening so postsolve
+    can attribute the binding multiplier to the row iff the implied bound is
+    the strictly tighter one."""
+
+    row: int
+    col: int
+    coef: float
+    old_lvar: float
+    old_uvar: float
+    new_lvar: float
+    new_uvar: float
+
+
+@dataclasses.dataclass
+class _FreeColSingleton:
+    """Free column j with a single alive entry a in EQUALITY row i (and no
+    Hessian entries): x_j = (b - sum_k A_ik x_k)/a substituted out together
+    with the row.  c_j is the objective coefficient at elimination time."""
+
+    row: int
+    col: int
+    coef: float
+    b: float
+    cj: float
+    row_cols: np.ndarray  # other alive columns on row i (original ids)
+    row_vals: np.ndarray
+
+
 @dataclasses.dataclass
 class PresolveInfo:
     status: PresolveStatus
@@ -44,104 +119,373 @@ class PresolveInfo:
     fixed_vals: np.ndarray
     nvar: int
     ncon: int
+    ops: List[Any] = dataclasses.field(default_factory=list)
+    original: Optional[QuadraticProblem] = None
+
+    # -- primal ------------------------------------------------------------
 
     def postsolve_x(self, x_red: np.ndarray) -> np.ndarray:
         x = np.zeros(self.nvar)
         x[self.keep_cols] = x_red
-        x[self.fixed_cols] = self.fixed_vals
+        for op in reversed(self.ops):
+            if isinstance(op, _FixGroup):
+                x[op.cols] = op.vals
+            elif isinstance(op, _FreeColSingleton):
+                x[op.col] = (op.b - op.row_vals @ x[op.row_cols]) / op.coef
         return x
 
+    # -- duals ---------------------------------------------------------------
+
     def postsolve_y(self, y_red: np.ndarray) -> np.ndarray:
+        """Scatter-only dual map (dropped rows get 0).  Exact whenever no
+        dropped row carries an active multiplier; `postsolve_stats` is the
+        exact version (it needs x, zl, zu as well)."""
         y = np.zeros(self.ncon)
         y[self.keep_rows] = y_red
         return y
 
+    def postsolve(
+        self,
+        x_red: np.ndarray,
+        y_red: np.ndarray,
+        zl_red: Optional[np.ndarray] = None,
+        zu_red: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Exact KKT postsolve: returns (x, y, zl, zu) on the original
+        problem satisfying g + A'y - zl + zu = 0 wherever the reduced
+        solution did."""
+        qp = self.original
+        assert qp is not None, "postsolve requires info.original"
+        nr = len(self.keep_cols)
+        if zl_red is None:
+            zl_red = np.zeros(nr)
+        if zu_red is None:
+            zu_red = np.zeros(nr)
+
+        sign = 1.0 if qp.minimize else -1.0
+        # internal computation is in MIN convention; reduced multipliers
+        # arrive in the user's sense (solver/qp.py recover_y/recover_z)
+        x = self.postsolve_x(np.asarray(x_red))
+        y = np.zeros(self.ncon)
+        y[self.keep_rows] = sign * np.asarray(y_red)
+        zl = np.zeros(self.nvar)
+        zu = np.zeros(self.nvar)
+        zl[self.keep_cols] = np.maximum(sign * np.asarray(zl_red), 0.0)
+        zu[self.keep_cols] = np.maximum(sign * np.asarray(zu_red), 0.0)
+
+        A = qp.A.tocsc()
+        H = qp.H.tocsc() if qp.H is not None else None
+        c = sign * qp.c
+        Hx = sign * np.asarray(qp.H @ x).ravel() if H is not None else np.zeros(self.nvar)
+
+        def residual(j: int) -> float:
+            # g_j + (A'y)_j - zl_j + zu_j with the CURRENT y (column dot)
+            aty = float(np.asarray(A[:, j].T @ y).ravel()[0])
+            return float(c[j] + Hx[j] + aty - zl[j] + zu[j])
+
+        # phase 1: local transfers (no residuals needed)
+        for op in reversed(self.ops):
+            if isinstance(op, _FreeColSingleton):
+                y[op.row] = -op.cj / op.coef
+            elif isinstance(op, _DropIneqSingletonRow):
+                j, a = op.col, op.coef
+                # move the bound multiplier onto the row iff the implied
+                # bound is strictly tighter than the variable's own
+                if op.new_lvar > op.old_lvar and zl[j] > 0.0:
+                    y[op.row] = -zl[j] / a
+                    zl[j] = 0.0
+                elif op.new_uvar < op.old_uvar and zu[j] > 0.0:
+                    y[op.row] = zu[j] / a
+                    zu[j] = 0.0
+
+        # phase 2: equality-singleton row duals, latest elimination first
+        # (triangular: column j's residual may involve duals of rows dropped
+        # LATER, which are already set by the time we reach this op)
+        for op in reversed(self.ops):
+            if isinstance(op, _DropEqSingletonRow):
+                zl[op.col] = zu[op.col] = 0.0
+                y[op.row] = -residual(op.col) / op.coef
+
+        # phase 3: bound duals of substituted-out columns from the final
+        # stationarity residual
+        for op in self.ops:
+            if isinstance(op, _FixGroup):
+                for j in op.cols:
+                    if zl[j] == 0.0 and zu[j] == 0.0:
+                        r = residual(j)
+                        if r >= 0.0:
+                            zl[j] = r
+                        else:
+                            zu[j] = -r
+        if not qp.minimize:
+            y, zl, zu = -y, -zl, -zu
+        return x, y, zl, zu
+
+    def postsolve_stats(self, stats):
+        """Map a reduced-problem ExecutionStats onto the original problem."""
+        qp = self.original
+        x, y, zl, zu = self.postsolve(
+            np.asarray(stats.solution),
+            np.asarray(stats.multipliers),
+            np.asarray(stats.multipliers_L),
+            np.asarray(stats.multipliers_U),
+        )
+        return dataclasses.replace(
+            stats,
+            solution=x,
+            multipliers=y,
+            multipliers_L=zl,
+            multipliers_U=zu,
+            constraints=np.asarray(qp.A @ x).ravel(),
+        )
+
+
+# ---------------------------------------------------------------------------
+# The presolve driver
+# ---------------------------------------------------------------------------
+
+
+def _fail(qp, status: PresolveStatus):
+    m, n = qp.ncon, qp.nvar
+    info = PresolveInfo(
+        status, np.arange(m), np.arange(n), np.array([], dtype=int),
+        np.array([]), n, m, [], qp,
+    )
+    return qp, info, False
+
 
 def presolve_qp(
-    qp: QuadraticProblem, tol: float = 0.0
+    qp: QuadraticProblem, tol: float = 1e-10, max_passes: int = 10
 ) -> tuple[QuadraticProblem, PresolveInfo, bool]:
     m, n = qp.ncon, qp.nvar
-    A = qp.A.tocsc()
-    H = qp.H.tocsc() if qp.H is not None else None
-
-    # -- empty rows ---------------------------------------------------------
-    row_nnz = np.diff(qp.A.tocsr().indptr)
-    empty_rows = row_nnz == 0
-    for i in np.where(empty_rows)[0]:
-        if qp.lcon[i] > tol or qp.ucon[i] < -tol:
-            info = PresolveInfo(
-                PresolveStatus.INFEASIBLE,
-                np.arange(m), np.arange(n), np.array([], dtype=int),
-                np.array([]), n, m,
-            )
-            return qp, info, False
-    keep_rows = np.where(~empty_rows)[0]
-
-    # -- empty columns ------------------------------------------------------
-    col_nnz = np.diff(A.indptr)
-    h_col_nnz = np.diff(H.indptr) if H is not None else np.zeros(n, dtype=int)
-    empty_cols = (col_nnz == 0) & (h_col_nnz == 0)
-    fixed_cols: List[int] = []
-    fixed_vals: List[float] = []
     sign = 1.0 if qp.minimize else -1.0
-    for j in np.where(empty_cols)[0]:
-        cj = sign * qp.c[j]
-        if cj > 0:
-            v = qp.lvar[j]
-        elif cj < 0:
-            v = qp.uvar[j]
-        else:
-            v = np.clip(0.0, qp.lvar[j], qp.uvar[j])
-        if not np.isfinite(v):
-            info = PresolveInfo(
-                PresolveStatus.UNBOUNDED,
-                np.arange(m), np.arange(n), np.array([], dtype=int),
-                np.array([]), n, m,
-            )
-            return qp, info, False
-        fixed_cols.append(j)
-        fixed_vals.append(float(v))
-    keep_cols = np.where(~empty_cols)[0]
 
-    if len(keep_rows) == m and len(keep_cols) == n:
-        info = PresolveInfo(
-            PresolveStatus.UNCHANGED,
-            keep_rows, keep_cols, np.array(fixed_cols, dtype=int),
-            np.array(fixed_vals), n, m,
-        )
-        return qp, info, True
+    # working copies in the ORIGINAL index space (minimization convention)
+    c = sign * qp.c.copy()
+    c0 = sign * qp.c0
+    lcon, ucon = qp.lcon.copy(), qp.ucon.copy()
+    lvar, uvar = qp.lvar.copy(), qp.uvar.copy()
+    A = qp.A.tocsc(copy=True)
+    A_rows = qp.A.tocsr(copy=True)
+    H = (sign * qp.H).tocsc() if qp.H is not None else None
+    h_col_nnz = np.diff(H.indptr) if H is not None else np.zeros(n, dtype=int)
+    if H is not None:
+        hc = H.tocoo()
+        off = (hc.row != hc.col) & (hc.data != 0.0)
+        h_offdiag = np.bincount(hc.col[off], minlength=n)
+        h_diag_only = h_offdiag == 0
+    else:
+        h_diag_only = np.ones(n, dtype=bool)
+
+    alive_col = np.ones(n, dtype=bool)
+    alive_row = np.ones(m, dtype=bool)
+    ops: List[Any] = []
+
+    if np.any(lvar > uvar + tol) or np.any(lcon > ucon + tol):
+        return _fail(qp, PresolveStatus.INFEASIBLE)
+
+    def sub(mat):
+        return mat[alive_row][:, alive_col]
+
+    def eliminate_fixed(cols: np.ndarray, vals: np.ndarray):
+        nonlocal c0
+        if cols.size == 0:
+            return
+        v = sp.csc_matrix(
+            (vals, (cols, np.zeros_like(cols))), shape=(n, 1))
+        c0 += float(c[cols] @ vals)
+        if H is not None:
+            Hv = np.asarray((H @ v).todense()).ravel()
+            c0 += 0.5 * float(vals @ Hv[cols])
+            c[:] += Hv
+            c[cols] -= Hv[cols]  # keep eliminated entries' c untouched-ish
+        Av = np.asarray((A @ v).todense()).ravel()
+        lcon[:] = lcon - Av
+        ucon[:] = ucon - Av
+        alive_col[cols] = False
+        ops.append(_FixGroup(cols.copy(), np.asarray(vals, dtype=float).copy()))
+
+    for _ in range(max_passes):
+        changed = False
+
+        live_r = np.where(alive_row)[0]
+        live_c = np.where(alive_col)[0]
+        Asub = sub(A_rows).tocsr()
+        row_nnz = np.diff(Asub.indptr)
+
+        # ---- empty rows ---------------------------------------------------
+        empty = row_nnz == 0
+        if empty.any():
+            er = live_r[empty]
+            if np.any(lcon[er] > tol) or np.any(ucon[er] < -tol):
+                return _fail(qp, PresolveStatus.INFEASIBLE)
+            alive_row[er] = False
+            changed = True
+            live_r = np.where(alive_row)[0]
+            Asub = sub(A_rows).tocsr()
+            row_nnz = np.diff(Asub.indptr)
+
+        # ---- singleton rows -----------------------------------------------
+        singles = np.where(row_nnz == 1)[0]
+        to_fix_cols: List[int] = []
+        to_fix_vals: List[float] = []
+        claimed: set = set()
+        for rloc in singles:
+            i = live_r[rloc]
+            jloc = Asub.indices[Asub.indptr[rloc]]
+            j = live_c[jloc]
+            if j in claimed:
+                continue  # another singleton row already fixed/tightened j this pass
+            a = Asub.data[Asub.indptr[rloc]]
+            if abs(a) < 1e-14:
+                continue
+            lo, hi = lcon[i] / a, ucon[i] / a
+            if a < 0:
+                lo, hi = hi, lo
+            if lcon[i] == ucon[i]:  # equality: fix the variable
+                v = lo
+                if v < lvar[j] - max(tol, tol * abs(v)) or v > uvar[j] + max(tol, tol * abs(v)):
+                    return _fail(qp, PresolveStatus.INFEASIBLE)
+                ops.append(_DropEqSingletonRow(i, j, float(a)))
+                alive_row[i] = False
+                to_fix_cols.append(j)
+                to_fix_vals.append(float(np.clip(v, lvar[j], uvar[j])))
+                claimed.add(j)
+            else:  # inequality: convert to bounds
+                new_l = max(lvar[j], lo) if np.isfinite(lo) else lvar[j]
+                new_u = min(uvar[j], hi) if np.isfinite(hi) else uvar[j]
+                if new_l > new_u + tol:
+                    return _fail(qp, PresolveStatus.INFEASIBLE)
+                ops.append(_DropIneqSingletonRow(
+                    i, j, float(a), float(lvar[j]), float(uvar[j]),
+                    float(new_l), float(new_u)))
+                lvar[j], uvar[j] = min(new_l, new_u), new_u
+                alive_row[i] = False
+                claimed.add(j)
+            changed = True
+        if to_fix_cols:
+            eliminate_fixed(np.asarray(to_fix_cols, dtype=int),
+                            np.asarray(to_fix_vals))
+            live_c = np.where(alive_col)[0]
+
+        # ---- fixed variables ----------------------------------------------
+        fixed = alive_col & (uvar - lvar <= tol) & np.isfinite(lvar)
+        if fixed.any():
+            cols = np.where(fixed)[0]
+            eliminate_fixed(cols, 0.5 * (lvar[cols] + uvar[cols]))
+            changed = True
+            live_c = np.where(alive_col)[0]
+
+        # refresh column views after any row/col changes
+        live_r = np.where(alive_row)[0]
+        Acsc = sub(A).tocsc()
+        col_nnz = np.diff(Acsc.indptr)
+
+        # ---- free column singletons on equality rows (LP columns) ---------
+        ff_rows: set = set()
+        for jloc in np.where(col_nnz == 1)[0]:
+            j = live_c[jloc]
+            if h_col_nnz[j] != 0:
+                continue
+            if np.isfinite(lvar[j]) or np.isfinite(uvar[j]):
+                continue
+            rloc = Acsc.indices[Acsc.indptr[jloc]]
+            i = live_r[rloc]
+            if i in ff_rows:
+                continue
+            if lcon[i] != ucon[i] or not np.isfinite(lcon[i]):
+                continue
+            a = Acsc.data[Acsc.indptr[jloc]]
+            if abs(a) < 1e-14:
+                continue
+            # row i's other alive entries
+            ri = A_rows[i].tocoo()
+            msk = alive_col[ri.col] & (ri.col != j)
+            rc, rv = ri.col[msk], ri.data[msk]
+            b = float(lcon[i])
+            ops.append(_FreeColSingleton(i, j, float(a), b, float(c[j]),
+                                         rc.copy(), rv.copy()))
+            # objective substitution: c_k -= (c_j/a) A_ik, c0 += c_j b / a
+            c0 += c[j] * b / a
+            c[rc] -= (c[j] / a) * rv
+            alive_col[j] = False
+            alive_row[i] = False
+            ff_rows.add(i)
+            changed = True
+        if ff_rows:
+            live_r = np.where(alive_row)[0]
+            live_c = np.where(alive_col)[0]
+            Acsc = sub(A).tocsc()
+            col_nnz = np.diff(Acsc.indptr)
+
+        # ---- empty columns -------------------------------------------------
+        empty_cols = np.zeros(n, dtype=bool)
+        empty_cols[live_c] = col_nnz == 0
+        ec_fix: List[int] = []
+        ec_val: List[float] = []
+        for j in np.where(empty_cols)[0]:
+            if h_col_nnz[j] > 0 and not h_diag_only[j]:
+                continue  # coupled through H: leave it to the solver
+            hjj = H[j, j] if H is not None else 0.0
+            if hjj > 0.0:
+                v = float(np.clip(-c[j] / hjj, lvar[j], uvar[j]))
+            elif c[j] > 0:
+                v = lvar[j]
+            elif c[j] < 0:
+                v = uvar[j]
+            else:
+                v = float(np.clip(0.0, lvar[j], uvar[j]))
+            if not np.isfinite(v):
+                return _fail(qp, PresolveStatus.UNBOUNDED)
+            ec_fix.append(j)
+            ec_val.append(float(v))
+        if ec_fix:
+            eliminate_fixed(np.asarray(ec_fix, dtype=int), np.asarray(ec_val))
+            changed = True
+
+        if not changed:
+            break
+
+    keep_rows = np.where(alive_row)[0]
+    keep_cols = np.where(alive_col)[0]
+    fixed_cols = np.concatenate(
+        [op.cols for op in ops if isinstance(op, _FixGroup)]
+    ) if any(isinstance(op, _FixGroup) for op in ops) else np.array([], dtype=int)
+    fixed_vals = np.concatenate(
+        [op.vals for op in ops if isinstance(op, _FixGroup)]
+    ) if fixed_cols.size else np.array([])
+
+    info = PresolveInfo(
+        PresolveStatus.REDUCED,
+        keep_rows, keep_cols, fixed_cols, fixed_vals, n, m, ops, qp,
+    )
 
     if len(keep_cols) == 0:
-        info = PresolveInfo(
-            PresolveStatus.SOLVED,
-            keep_rows, keep_cols, np.array(fixed_cols, dtype=int),
-            np.array(fixed_vals), n, m,
-        )
+        info.status = PresolveStatus.SOLVED
         return qp, info, False
+    if len(keep_rows) == m and len(keep_cols) == n and not ops:
+        info.status = PresolveStatus.UNCHANGED
+        return qp, info, True
 
-    A_red = qp.A.tocsr()[keep_rows][:, keep_cols]
+    A_red = A_rows[keep_rows][:, keep_cols]
     H_red = None
-    if H is not None:
+    if qp.H is not None:
         H_red = qp.H.tocsr()[keep_cols][:, keep_cols]
-    c0_red = qp.c0 + float(qp.c[fixed_cols] @ np.asarray(fixed_vals)) if fixed_cols else qp.c0
+        if H_red.nnz == 0:
+            H_red = None
 
     reduced = QuadraticProblem(
-        c=qp.c[keep_cols],
+        c=sign * c[keep_cols],
         A=A_red,
         H=H_red,
-        c0=c0_red,
-        lcon=qp.lcon[keep_rows],
-        ucon=qp.ucon[keep_rows],
-        lvar=qp.lvar[keep_cols],
-        uvar=qp.uvar[keep_cols],
-        x0=qp.x0[keep_cols],
+        c0=sign * c0,
+        lcon=lcon[keep_rows],
+        ucon=ucon[keep_rows],
+        lvar=lvar[keep_cols],
+        uvar=uvar[keep_cols],
+        x0=np.clip(qp.x0[keep_cols], lvar[keep_cols], uvar[keep_cols]),
         y0=qp.y0[keep_rows],
         minimize=qp.minimize,
         name=qp.name,
-    )
-    info = PresolveInfo(
-        PresolveStatus.REDUCED,
-        keep_rows, keep_cols, np.array(fixed_cols, dtype=int),
-        np.array(fixed_vals), n, m,
     )
     return reduced, info, True

@@ -101,6 +101,11 @@ class TestMPSReader:
         qp = read_mps(str(path))
         assert qp.nvar == 3
 
+    def test_garbage_file_rejected(self):
+        # Arbitrary text must not parse as an empty "solved" problem.
+        with pytest.raises(ValueError, match="no ROWS section"):
+            parse_mps(_io.StringIO("GARBAGE\nNOT AN MPS\n"))
+
     def test_objsense_max(self):
         txt = MPS_LP.replace("NAME          TESTLP", "NAME  T\nOBJSENSE\n    MAX")
         qp = parse_mps(_io.StringIO(txt))
@@ -138,6 +143,25 @@ class TestRuizScaling:
         np.testing.assert_allclose(st.multipliers, ref.multipliers, atol=1e-4)
 
 
+def _check_kkt(qp, x, y, zl, zu, tol=1e-6):
+    """Original-space KKT check under the solver convention
+    g + A'y - zl + zu = 0 (sign-flipped multipliers for maximize)."""
+    sign = 1.0 if qp.minimize else -1.0
+    g = qp.c + (qp.H @ x if qp.H is not None else 0.0)
+    stat = sign * g + sign * (qp.A.T @ y) - sign * zl + sign * zu
+    assert np.abs(stat).max() < tol, f"stationarity {np.abs(stat).max():.2e}"
+    assert np.all(sign * zl >= -tol) and np.all(sign * zu >= -tol)
+    r = np.asarray(qp.A @ x).ravel()
+    assert np.all(r >= qp.lcon - tol) and np.all(r <= qp.ucon + tol)
+    assert np.all(x >= qp.lvar - tol) and np.all(x <= qp.uvar + tol)
+    # complementarity of the bound duals
+    fl, fu = np.isfinite(qp.lvar), np.isfinite(qp.uvar)
+    gap_l = (x[fl] - qp.lvar[fl]) * sign * zl[fl]
+    gap_u = (qp.uvar[fu] - x[fu]) * sign * zu[fu]
+    assert np.abs(gap_l).max(initial=0) < tol
+    assert np.abs(gap_u).max(initial=0) < tol
+
+
 class TestPresolve:
     def test_empty_row_dropped(self):
         qp = mq.QuadraticProblem(
@@ -166,7 +190,11 @@ class TestPresolve:
         _, info, ok = presolve_qp(qp)
         assert not ok and info.status == PresolveStatus.INFEASIBLE
 
-    def test_empty_column_fixed(self):
+    def test_eq_singleton_plus_empty_column_fully_solves(self):
+        # row 0 is an equality singleton fixing x0 = 0.5; col 1 is empty
+        # with c1 = -2 < 0 -> fixed at its upper bound 3.  Everything is
+        # eliminated: the problem is SOLVED in presolve (the reference's
+        # QuadraticModels.presolve does the same).
         qp = mq.QuadraticProblem(
             c=np.array([1.0, -2.0]),
             A=np.array([[1.0, 0.0]]),
@@ -175,12 +203,12 @@ class TestPresolve:
             lvar=np.zeros(2),
             uvar=np.array([np.inf, 3.0]),
         )
-        red, info, ok = presolve_qp(qp)
-        assert ok and red.nvar == 1
-        # c2 = -2 < 0 -> fixed at upper bound 3
-        x = info.postsolve_x(np.array([0.5]))
+        _, info, ok = presolve_qp(qp)
+        assert not ok and info.status == PresolveStatus.SOLVED
+        x = info.postsolve_x(np.zeros(0))
         np.testing.assert_allclose(x, [0.5, 3.0])
-        assert red.c0 == pytest.approx(-6.0)
+        x, y, zl, zu = info.postsolve(np.zeros(0), np.zeros(0))
+        _check_kkt(qp, x, y, zl, zu)
 
     def test_empty_column_unbounded(self):
         qp = mq.QuadraticProblem(
@@ -193,6 +221,149 @@ class TestPresolve:
         )
         _, info, ok = presolve_qp(qp)
         assert not ok and info.status == PresolveStatus.UNBOUNDED
+
+    def test_bound_crossing_infeasible(self):
+        qp = mq.QuadraticProblem(
+            c=np.array([1.0]),
+            A=np.array([[1.0]]),
+            lcon=np.array([0.0]), ucon=np.array([1.0]),
+            lvar=np.array([2.0]), uvar=np.array([1.0]),
+        )
+        _, info, ok = presolve_qp(qp)
+        assert not ok and info.status == PresolveStatus.INFEASIBLE
+
+    def test_eq_singleton_violating_bounds_infeasible(self):
+        qp = mq.QuadraticProblem(
+            c=np.array([1.0, 1.0]),
+            A=np.array([[2.0, 0.0], [1.0, 1.0]]),
+            lcon=np.array([10.0, 1.0]), ucon=np.array([10.0, 2.0]),
+            lvar=np.zeros(2), uvar=np.array([1.0, np.inf]),  # x0 = 5 > 1
+        )
+        _, info, ok = presolve_qp(qp)
+        assert not ok and info.status == PresolveStatus.INFEASIBLE
+
+    def test_ineq_singleton_becomes_bound(self):
+        # row 1: 2*x0 <= 3 -> x0 <= 1.5 (tighter than uvar=2), row dropped
+        qp = mq.QuadraticProblem(
+            c=np.array([-1.0, 1.0]),
+            A=np.array([[1.0, 1.0], [2.0, 0.0]]),
+            lcon=np.array([1.0, -np.inf]), ucon=np.array([np.inf, 3.0]),
+            lvar=np.zeros(2), uvar=np.array([2.0, np.inf]),
+        )
+        red, info, ok = presolve_qp(qp)
+        assert ok and red.ncon == 1 and red.nvar == 2
+        assert red.uvar[0] == pytest.approx(1.5)
+        ref = mq.solve(qp, print_level=40)
+        st = mq.solve(red, print_level=40)
+        st = info.postsolve_stats(st)
+        assert st.objective == pytest.approx(ref.objective, abs=1e-7)
+        _check_kkt(qp, st.solution, st.multipliers,
+                   st.multipliers_L, st.multipliers_U)
+
+    def test_free_column_singleton_substituted(self):
+        # x2 free, appears only in the equality row 0 -> substituted out
+        qp = mq.QuadraticProblem(
+            c=np.array([1.0, 2.0, 3.0]),
+            A=np.array([[1.0, 1.0, 2.0], [1.0, -1.0, 0.0]]),
+            lcon=np.array([4.0, -1.0]), ucon=np.array([4.0, 1.0]),
+            lvar=np.array([0.0, 0.0, -np.inf]),
+            uvar=np.array([np.inf, np.inf, np.inf]),
+        )
+        red, info, ok = presolve_qp(qp)
+        assert ok
+        assert red.nvar == 2 and red.ncon == 1
+        ref = mq.solve(qp, print_level=40)
+        st = mq.solve(red, print_level=40)
+        st = info.postsolve_stats(st)
+        assert st.objective == pytest.approx(ref.objective, abs=1e-7)
+        _check_kkt(qp, st.solution, st.multipliers,
+                   st.multipliers_L, st.multipliers_U)
+
+    @pytest.mark.parametrize("with_h", [False, True], ids=["lp", "qp"])
+    def test_planted_structure_postsolve_exact(self, with_h):
+        """LP/QP with planted presolvable structure: fixed vars, eq/ineq
+        singleton rows, an empty row, an empty column, a free column
+        singleton.  presolve -> solve -> postsolve_stats must reproduce the
+        direct solve and satisfy original-space KKT exactly."""
+        rng = np.random.default_rng(7 + with_h)
+        n_core, m_core = 12, 6
+        A_core = rng.standard_normal((m_core, n_core))
+        x_feas = rng.uniform(0.5, 1.5, n_core)
+        b_core = A_core @ x_feas
+        # assemble: [core | fixed | empty | free-singleton] columns
+        n = n_core + 3
+        m = m_core + 4  # + eq singleton, ineq singleton, empty, free-col row
+        A = np.zeros((m, n))
+        A[:m_core, :n_core] = A_core
+        A[:m_core, n_core] = rng.standard_normal(m_core)  # fixed var col
+        lcon = np.concatenate([b_core, [2.0, -np.inf, -1.0, 3.0]])
+        ucon = np.concatenate([b_core, [2.0, 4.0, 1.0, 3.0]])
+        A[m_core, 0] = 2.0          # eq singleton: x0 = 1
+        A[m_core + 1, 1] = 4.0      # ineq singleton: x1 <= 1
+        # row m_core+2 empty; row m_core+3: free column singleton (col n-1)
+        A[m_core + 3, 2] = 1.0
+        A[m_core + 3, n - 1] = 2.0  # free col: x_{n-1} = (3 - x2)/2
+        lvar = np.full(n, 0.0)
+        uvar = np.full(n, np.inf)
+        lvar[n_core] = uvar[n_core] = 0.7       # fixed var
+        lvar[n_core + 1], uvar[n_core + 1] = 0.0, 2.0  # empty col
+        lvar[n - 1], uvar[n - 1] = -np.inf, np.inf     # free singleton col
+        c = rng.uniform(0.5, 2.0, n)
+        H = None
+        if with_h:
+            # diagonal H on the core block only (free col must stay linear)
+            d = np.zeros(n)
+            d[:n_core] = rng.uniform(0.1, 1.0, n_core)
+            d[n_core] = 0.5   # fixed var with H entry: tests cross terms
+            H = np.diag(d)
+        qp = mq.QuadraticProblem(c=c, A=A, H=H, lcon=lcon, ucon=ucon,
+                                 lvar=lvar, uvar=uvar)
+        red, info, ok = presolve_qp(qp)
+        assert ok and info.status == PresolveStatus.REDUCED
+        assert red.nvar < n and red.ncon < m
+        ref = mq.solve(qp, tol=1e-9, print_level=40)
+        st = mq.solve(red, tol=1e-9, print_level=40)
+        st = info.postsolve_stats(st)
+        assert st.objective == pytest.approx(ref.objective, rel=1e-6)
+        np.testing.assert_allclose(st.solution, ref.solution, atol=1e-5)
+        _check_kkt(qp, st.solution, st.multipliers,
+                   st.multipliers_L, st.multipliers_U)
+
+    def test_maximize_postsolve(self):
+        qp = mq.QuadraticProblem(
+            c=np.array([1.0, 1.0, 0.5]),
+            A=np.array([[1.0, 1.0, 0.0], [0.0, 2.0, 0.0]]),
+            lcon=np.array([-np.inf, 1.0]), ucon=np.array([3.0, 1.0]),
+            lvar=np.zeros(3), uvar=np.array([np.inf, np.inf, 1.0]),
+            minimize=False,
+        )
+        red, info, ok = presolve_qp(qp)
+        # eq singleton fixes x1=0.5; row 0 becomes a singleton bound
+        # x0 <= 2.5; both remaining cols empty -> fully SOLVED in presolve
+        assert not ok and info.status == PresolveStatus.SOLVED
+        ref = mq.solve(qp, print_level=40)
+        x, y, zl, zu = info.postsolve(np.zeros(0), np.zeros(0))
+        assert qp.obj(x) == pytest.approx(ref.objective, abs=1e-7)
+        np.testing.assert_allclose(x, ref.solution, atol=1e-6)
+        _check_kkt(qp, x, y, zl, zu)
+
+    def test_chained_reductions_fixpoint(self):
+        """Fixing a variable empties another row, which becomes a singleton
+        chaining into another fix — requires the pass loop."""
+        # x0 = 1 (eq singleton); then row1: x0 + x1 = 3 becomes singleton
+        # fixing x1 = 2; then row2: x1 + x2 = 5 fixes x2 = 3.
+        qp = mq.QuadraticProblem(
+            c=np.ones(3),
+            A=np.array([[1.0, 0.0, 0.0], [1.0, 1.0, 0.0], [0.0, 1.0, 1.0]]),
+            lcon=np.array([1.0, 3.0, 5.0]), ucon=np.array([1.0, 3.0, 5.0]),
+            lvar=np.zeros(3), uvar=np.full(3, 10.0),
+        )
+        _, info, ok = presolve_qp(qp)
+        assert not ok and info.status == PresolveStatus.SOLVED
+        x = info.postsolve_x(np.zeros(0))
+        np.testing.assert_allclose(x, [1.0, 2.0, 3.0])
+        x, y, zl, zu = info.postsolve(np.zeros(0), np.zeros(0))
+        _check_kkt(qp, x, y, zl, zu)
 
 
 class TestMPSRoundTrip:
