@@ -33,6 +33,7 @@ _STATUS_MAP = {
     S.MAX_ITER: Status.MAXIMUM_ITERATIONS_EXCEEDED,
     S.STEP_ERROR: Status.ERROR_IN_STEP_COMPUTATION,
     S.DIVERGED: Status.INFEASIBLE_PROBLEM_DETECTED,
+    S.STALLED: Status.SOLVED_TO_ACCEPTABLE_LEVEL,
     S.RUNNING: Status.REGULAR,
 }
 
@@ -222,10 +223,9 @@ class MPCSolver:
                 # endgame (see solver/sparse_lp.py for the rationale).
                 # The python/verbose loop chains the same two phases
                 # host-side via self._phase2.
-                import dataclasses as _dc
+                from .sparse_common import two_phase_opts
 
-                opts1 = _dc.replace(opts, tol=opts.phase1_tol)
-                opts2 = _dc.replace(opts, factorization_dtype="")
+                opts1, opts2 = two_phase_opts(opts)
                 kkt, kernel, jits1 = get_sparse_kernel(
                     self._sparse_kind, self._sparse_fp, opts1,
                     self._sparse_make)

@@ -35,6 +35,7 @@ from .state import (
     MAX_ITER,
     ProblemArrays,
     RUNNING,
+    STALLED,
     STEP_ERROR,
     SUCCESS,
 )
@@ -296,6 +297,23 @@ class MPCKernel:
             ),
         ).astype(jnp.int32)
 
+        # Stall detection (opts.stall_exit > 0, static): an f32 phase that
+        # has hit its precision floor burns iterations without progress and
+        # degrades the iterate it will hand to the f64 endgame — exit after
+        # stall_exit consecutive iterations without a 10% improvement of the
+        # best max-infeasibility seen.
+        if self.opts.stall_exit > 0:
+            improved = worst < 0.9 * state.best_worst
+            stall_k = jnp.where(improved, jnp.int32(0), state.stall_k + 1)
+            stalled = stall_k >= self.opts.stall_exit
+            new_status = jnp.where(
+                (new_status == RUNNING) & stalled, STALLED, new_status
+            ).astype(jnp.int32)
+            state = state._replace(
+                best_worst=jnp.minimum(worst, state.best_worst),
+                stall_k=stall_k,
+            )
+
         def finish(s: IPMState) -> IPMState:
             return s._replace(status=new_status)
 
@@ -415,6 +433,7 @@ class MPCKernel:
             norm_b=K._inf_norm(p.b), norm_c=K._inf_norm(g),
             k=jnp.int32(0), n_fact=jnp.int32(0), n_solve=jnp.int32(0),
             status=jnp.int32(RUNNING),
+            best_worst=jnp.asarray(jnp.inf, dt), stall_k=jnp.int32(0),
         )
 
     def init_state(self, p: ProblemArrays, x0, y0, lb0, ub0) -> IPMState:
@@ -473,6 +492,7 @@ class MPCKernel:
             d_norm=zero, norm_b=norm_b, norm_c=norm_c,
             k=jnp.int32(0), n_fact=jnp.int32(1), n_solve=jnp.int32(2),
             status=jnp.int32(RUNNING),
+            best_worst=jnp.asarray(jnp.inf, dt), stall_k=jnp.int32(0),
         )
 
     # -- drivers -------------------------------------------------------------

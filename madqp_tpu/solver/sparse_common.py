@@ -91,3 +91,25 @@ def get_sparse_kernel(kind: str, fingerprint: str, opts, make_kkt):
     while len(_KERNEL_CACHE) > _KERNEL_CACHE_SIZE:
         _KERNEL_CACHE.popitem(last=False)
     return kkt, kernel, jits
+
+
+def two_phase_opts(opts):
+    """Split options for the two-phase mixed-precision scheme.
+
+    Phase 1 (f32): solve to phase1_tol with stall detection on (an f32
+    kernel at its precision floor burns iterations and degrades the warm
+    start it hands over — measured: phase1_tol=1e-5 on a banded n=20k LP
+    stalled for 42 extra f32 iterations and then needed 41 f64 endgame
+    iterations instead of 5).
+
+    Phase 2 (f64): phase-1-only fields are normalized away so the endgame
+    kernel (and its jit cache entry) is shared across phase-1 settings.
+    """
+    import dataclasses
+
+    opts1 = dataclasses.replace(
+        opts, tol=opts.phase1_tol,
+        stall_exit=opts.stall_exit if opts.stall_exit > 0 else 5,
+    )
+    opts2 = dataclasses.replace(opts, factorization_dtype="", phase1_tol=0.0)
+    return opts1, opts2

@@ -305,8 +305,8 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto", **options):
                  and opts.precision_scheme == "two-phase"
                  and opts.tol < opts.phase1_tol)
     if two_phase:
-        opts1 = dataclasses.replace(opts, tol=opts.phase1_tol)
-        opts2 = dataclasses.replace(opts, factorization_dtype="")
+        from .sparse_common import two_phase_opts
+        opts1, opts2 = two_phase_opts(opts)
     else:
         opts1, opts2 = opts, None
 

@@ -23,6 +23,7 @@ SUCCESS = 1
 MAX_ITER = 2
 STEP_ERROR = 3
 DIVERGED = 4
+STALLED = 5  # stall_exit iterations without progress (mixed-precision floor)
 
 
 class ProblemArrays(NamedTuple):
@@ -101,6 +102,10 @@ class IPMState(NamedTuple):
     n_fact: jax.Array   # factorization count
     n_solve: jax.Array  # backsolve count
     status: jax.Array   # int32, RUNNING while iterating
+    # Stall detection (options.stall_exit): best max-infeasibility seen and
+    # the count of consecutive iterations without meaningful improvement.
+    best_worst: jax.Array
+    stall_k: jax.Array  # int32
 
 
 def problem_to_device(std: StandardQP, dtype=jnp.float64) -> tuple[ProblemArrays, jax.Array, jax.Array]:

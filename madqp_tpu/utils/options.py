@@ -151,7 +151,19 @@ class IPMOptions:
     # few iterations must pay f64.  'simple' = single-phase f32+IR.
     precision_scheme: str = "two-phase"
     phase1_tol: float = 1e-3
-    # Output
+    # Exit the loop with Status.SOLVED_TO_ACCEPTABLE_LEVEL after this many
+    # consecutive iterations without a 10% improvement of the best
+    # max-infeasibility (0 = disabled).  The two-phase drivers enable it for
+    # the f32 phase: an f32 kernel at its precision floor burns iterations
+    # and degrades the warm start it hands to the f64 endgame.
+    stall_exit: int = 0
+    # Output — Python-logging-style thresholds (HIGHER = quieter):
+    # 5=TRACE 10=DEBUG 20=INFO 25=NOTICE 30=WARN 40=ERROR.  0 is NOTSET and
+    # means "logging disabled" (silent), matching both Python logging's
+    # convention and the intuitive reading of print_level=0; it is
+    # normalized to 100 in load_options.  print_level <= 20 also switches
+    # the driver to the host-stepped per-iteration loop (slow on TPU) so
+    # the iteration table can print live.
     print_level: int = 20       # logging.INFO
     file_print_level: int = 20
     output_file: str = ""
@@ -208,4 +220,9 @@ def load_options(**kwargs) -> Tuple[IPMOptions, dict]:
     fields = {f.name for f in dataclasses.fields(IPMOptions)}
     known = {k: v for k, v in kwargs.items() if k in fields}
     ignored = {k: v for k, v in kwargs.items() if k not in fields}
+    # print_level=0 is NOTSET = "logging disabled", not "print everything"
+    # (thresholds are higher-is-quieter; see the field comment).
+    for key in ("print_level", "file_print_level"):
+        if known.get(key) == 0:
+            known[key] = 100
     return IPMOptions(**known), ignored

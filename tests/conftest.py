@@ -29,6 +29,21 @@ def rng():
     return np.random.default_rng(42)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables after each test module.
+
+    A single serial run of the whole suite accumulates hundreds of XLA:CPU
+    compilations in one process; past ~170 tests the next compile segfaults
+    inside `backend_compile_and_load` (observed repeatedly at
+    test_suite.py::test_write_suite_roundtrip). Releasing executables
+    between modules keeps the JIT arena small; the cost is re-compiling
+    shared programs at each module boundary (~tens of seconds serially,
+    invisible under xdist which isolates modules per worker anyway)."""
+    yield
+    jax.clear_caches()
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running multi-process tests"
