@@ -38,22 +38,29 @@ BLOCK = 128
 
 
 def _unblocked_chol_block(D):
-    """Lower Cholesky of a (B, B) block via B masked rank-1 sweeps (VPU)."""
+    """Lower Cholesky of a (B, B) block via B masked rank-1 sweeps (VPU).
+
+    Everything stays 2D and masked — no `D[k, k]` / `.at[:, k]` dynamic
+    indexing, which Mosaic cannot lower (scalar gathers from VMEM values;
+    tracing them recurses forever in pallas compiled mode)."""
     B = D.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    rids = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)   # (B, 1)
 
     def step(k, D):
-        piv = jnp.sqrt(D[k, k])
-        col = D[:, k] / piv
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
-        col_m = jnp.where(row_ids > k, col, 0.0)
+        col = jnp.sum(jnp.where(cols == k, D, 0.0), axis=1,
+                      keepdims=True)                          # D[:, k] (B,1)
+        piv = jnp.sqrt(jnp.sum(jnp.where(rids == k, col, 0.0)))  # D[k, k]
+        colp = col / piv
+        col_m = jnp.where(rids > k, colp, 0.0)
         # trailing rank-1 update restricted to cols > k
-        upd = col_m[:, None] * col_m[None, :]
+        upd = col_m * jnp.transpose(col_m)                    # (B, B) outer
         D = D - jnp.where(cols > k, upd, 0.0)
         # write the scaled column (diag = piv, below-diag = col, above = 0)
-        newcol = jnp.where(row_ids > k, col, jnp.where(row_ids == k, piv, 0.0))
-        D = D.at[:, k].set(newcol)
+        newcol = jnp.where(rids > k, colp,
+                           jnp.where(rids == k, piv, 0.0))    # (B, 1)
+        D = jnp.where(cols == k, newcol, D)
         return D
 
     D = jax.lax.fori_loop(0, B, step, D)
@@ -63,16 +70,26 @@ def _unblocked_chol_block(D):
 
 def _panel_solve(P, L):
     """Solve X L^T = P for X, with L (B, B) lower-triangular and P (n, B):
-    forward substitution over columns, each step one (n,B)x(B,) matvec."""
+    forward substitution over columns, each step one (n,B)x(B,1) matvec.
+    Masked-2D form for the same Mosaic reason as `_unblocked_chol_block`."""
     n, B = P.shape
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)[0]
+    colsB = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)   # (1, B)
+    rowsB = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)   # (B, 1)
 
     def step(k, X):
-        lk = L[k, :]                      # row k of L
-        lk_masked = jnp.where(col_ids < k, lk, 0.0)
-        acc = X @ lk_masked               # (n,) partial sums
-        xk = (P[:, k] - acc) / L[k, k]
-        return X.at[:, k].set(xk)
+        lk = jnp.sum(jnp.where(rowsB == k, L, 0.0), axis=0,
+                     keepdims=True)                           # L[k, :] (1,B)
+        lk_m = jnp.where(colsB < k, lk, 0.0)
+        acc = jax.lax.dot_general(
+            X, lk_m,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=X.dtype,
+        )                                                     # (n, 1)
+        lkk = jnp.sum(jnp.where(colsB == k, lk, 0.0))         # L[k, k]
+        pk = jnp.sum(jnp.where(colsB == k, P, 0.0), axis=1,
+                     keepdims=True)                           # P[:, k] (n,1)
+        xk = (pk - acc) / lkk
+        return jnp.where(colsB == k, xk, X)
 
     return jax.lax.fori_loop(0, B, step, jnp.zeros_like(P))
 
