@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from .blocked_dense import blocked_ldl, inv_unit_lower
+
 
 @dataclasses.dataclass
 class Supernode:
@@ -692,20 +694,24 @@ def _chain_scan(ch: _Chain, a_values, upd_buf, dtype, ldl: bool,
         F = F.at[c_d].add(U_prev.reshape(-1)[ch.tri_src])
         F = F[:-1].reshape(r_pad, r_pad)
         F = jnp.tril(F) + jnp.tril(F, -1).T
+        # GEMM-rich blocked factorization + explicit diagonal-block inverse
+        # (ops/blocked_dense): XLA's cholesky/triangular_solve sequential
+        # column sweeps are ~16x slower in emulated f64 on TPU.
         if ldl:
-            L11, d = dense_ldl(F[:w_pad, :w_pad], sgn=sg, floor=pivot_floor)
-            # Z = F21 L11^{-T}  (Z' = L11^{-1} F21')
-            Z = jsl.solve_triangular(
-                L11, F[w_pad:, :w_pad].T, lower=True,
-                unit_diagonal=True).T
+            L11, d = blocked_ldl(F[:w_pad, :w_pad], sgn=sg, floor=pivot_floor)
+            i11 = inv_unit_lower(L11)
+            Z = F[w_pad:, :w_pad] @ i11.T          # Z = F21 L11^{-T}
             L21 = Z / d[None, :]
             U = F[w_pad:, w_pad:] - Z @ L21.T
-            top = _inv_lower(L11, unit=True) if inverse else L11
+            top = i11 if inverse else L11
             return U, (jnp.concatenate([top, L21], axis=0), d)
-        L11 = jsl.cholesky(F[:w_pad, :w_pad], lower=True)
-        L21 = jsl.solve_triangular(L11, F[w_pad:, :w_pad].T, lower=True).T
+        Lu, d = blocked_ldl(F[:w_pad, :w_pad])
+        sq = jnp.sqrt(d)
+        L11 = Lu * sq[None, :]                     # Cholesky factor L = Lu√d
+        i11 = inv_unit_lower(Lu) / sq[:, None]     # inv(L) = D^-1/2 inv(Lu)
+        L21 = F[w_pad:, :w_pad] @ i11.T
         U = F[w_pad:, w_pad:] - L21 @ L21.T
-        top = _inv_lower(L11) if inverse else L11
+        top = i11 if inverse else L11
         return U, (jnp.concatenate([top, L21], axis=0), None)
 
     sgn_rows = (jnp.asarray(sgn, dtype) if sgn is not None
@@ -760,11 +766,11 @@ def _chain_solve_bwd(ch: _Chain, panels, x, n, unit=False, inverse=False):
 def _inv_lower(L, unit: bool = False):
     """Batched explicit inverse of lower-triangular L (small panel widths;
     turns the latency-bound per-front triangular backsolves into MXU
-    matmuls — same trade as the dense path's solve_mode='inverse')."""
-    w = L.shape[-1]
-    eye = jnp.broadcast_to(jnp.eye(w, dtype=L.dtype), L.shape)
-    return jax.lax.linalg.triangular_solve(
-        L, eye, left_side=True, lower=True, unit_diagonal=unit)
+    matmuls — same trade as the dense path's solve_mode='inverse').
+    GEMM-rich blocked recursion (ops/blocked_dense): XLA's
+    triangular_solve-against-identity runs ~4x slower in emulated f64."""
+    from .blocked_dense import inv_lower as _blk_inv
+    return _blk_inv(L, unit=unit)
 
 
 def factorize_batched(bs: BucketedSymbolic, a_values, inverse: bool = False):
@@ -784,13 +790,16 @@ def factorize_batched(bs: BucketedSymbolic, a_values, inverse: bool = False):
         bk = item
         w_pad, u_pad = bk.w_pad, bk.u_pad
         F = _assemble_bucket(bk, a_values, upd_buf, dtype)
-        L11 = jnp.linalg.cholesky(F[:, :w_pad, :w_pad])
-        top = _inv_lower(L11) if inverse else L11
+        # Blocked GEMM-rich Cholesky + explicit inverse replace XLA's
+        # cholesky/triangular_solve (measured on TPU f64 (256,128,128):
+        # 64 ms vs 1017 ms, and the trsm becomes an 18 ms matmul).
+        Lu, dch = blocked_ldl(F[:, :w_pad, :w_pad])
+        sq = jnp.sqrt(dch)
+        L11 = Lu * sq[:, None, :]
+        i11 = inv_unit_lower(Lu) / sq[:, :, None]
+        top = i11 if inverse else L11
         if u_pad:
-            L21 = jax.lax.linalg.triangular_solve(
-                L11, F[:, w_pad:, :w_pad], left_side=False,
-                lower=True, transpose_a=True,
-            )
+            L21 = F[:, w_pad:, :w_pad] @ i11.transpose(0, 2, 1)
             U = F[:, w_pad:, w_pad:] - L21 @ L21.transpose(0, 2, 1)
             panels.append(jnp.concatenate([top, L21], axis=1))
             if bk.upd_dst.size:
@@ -875,34 +884,16 @@ def factor_ok_batched(panels) -> jax.Array:
 
 def dense_ldl(F, sgn=None, floor: float = 0.0):
     """No-pivot LDL^T of (..., w, w) symmetric matrices: F = L D L' with L
-    unit lower triangular.  Sequential over columns (w is a supernode panel
-    width, <= max_supernode); everything else stays batched.
+    unit lower triangular.
 
     With `sgn` ((..., w) expected pivot signs) and `floor` > 0, pivots are
     perturbed to sgn * max(sgn * d, floor) — the cuDSS-style pivot
     perturbation that keeps a quasi-definite f32 factorization usable near
-    convergence; iterative refinement absorbs the perturbation."""
-    w = F.shape[-1]
-    idx = jnp.arange(w)
+    convergence; iterative refinement absorbs the perturbation.
 
-    def body(j, carry):
-        F, L, d = carry
-        dj = F[..., j, j]
-        if sgn is not None and floor > 0.0:
-            sj = sgn[..., j]
-            dj = sj * jnp.maximum(sj * dj, jnp.asarray(floor, F.dtype))
-        col = F[..., :, j] / dj[..., None]
-        col = jnp.where(idx > j, col, 0.0)
-        F = F - dj[..., None, None] * col[..., :, None] * col[..., None, :]
-        L = L.at[..., :, j].set(col)
-        d = d.at[..., j].set(dj)
-        return F, L, d
-
-    L0 = jnp.zeros_like(F)
-    d0 = jnp.zeros(F.shape[:-1], F.dtype)
-    _, L, d = jax.lax.fori_loop(0, w, body, (F, L0, d0))
-    L = L + jnp.eye(w, dtype=F.dtype)
-    return L, d
+    Delegates to the GEMM-rich blocked implementation (ops/blocked_dense):
+    only 32-wide base panels stay column-sequential."""
+    return blocked_ldl(F, sgn=sgn, floor=floor)
 
 
 def factorize_batched_ldl(bs: BucketedSymbolic, a_values, signs=None,
@@ -934,18 +925,18 @@ def factorize_batched_ldl(bs: BucketedSymbolic, a_values, signs=None,
         bk = item
         w_pad, u_pad = bk.w_pad, bk.u_pad
         F = _assemble_bucket(bk, a_values, upd_buf, dtype)
-        L11, d = dense_ldl(F[:, :w_pad, :w_pad],
-                           sgn=None if sgn is None else jnp.asarray(sgn, dtype),
-                           floor=pivot_floor)
+        # Blocked GEMM-rich LDL + explicit unit inverse (ops/blocked_dense)
+        # replace XLA-sequential dense_ldl column sweeps and trsm.
+        L11, d = blocked_ldl(F[:, :w_pad, :w_pad],
+                             sgn=None if sgn is None else jnp.asarray(sgn, dtype),
+                             floor=pivot_floor)
         dglob = dglob.at[bk.cols_idx.reshape(-1)].set(d.reshape(-1))
         dvecs.append(d)
-        top = _inv_lower(L11, unit=True) if inverse else L11
+        i11 = inv_unit_lower(L11)
+        top = i11 if inverse else L11
         if u_pad:
             # Z = F21 L11^{-T};  L21 = Z / d;  U = F22 - Z diag(1/d) Z'
-            Z = jax.lax.linalg.triangular_solve(
-                L11, F[:, w_pad:, :w_pad], left_side=False,
-                lower=True, transpose_a=True, unit_diagonal=True,
-            )
+            Z = F[:, w_pad:, :w_pad] @ i11.transpose(0, 2, 1)
             L21 = Z / d[:, None, :]
             U = F[:, w_pad:, w_pad:] - Z @ L21.transpose(0, 2, 1)
             panels.append(jnp.concatenate([top, L21], axis=1))

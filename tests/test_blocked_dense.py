@@ -1,0 +1,95 @@
+"""Oracle tests for ops/blocked_dense.py (GEMM-rich blocked factorizations).
+
+NumPy-oracle pattern per SURVEY §4: each kernel is validated against the
+dense reference (np.linalg) and against the sequential unblocked
+implementation it replaces."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from madqp_tpu.ops.blocked_dense import (
+    blocked_cholesky,
+    blocked_ldl,
+    inv_lower,
+    inv_unit_lower,
+    unblocked_ldl,
+)
+
+
+def _spd(rng, *shape):
+    w = shape[-1]
+    M = rng.standard_normal(shape)
+    return M @ np.swapaxes(M, -1, -2) + w * np.eye(w)
+
+
+@pytest.mark.parametrize("w", [4, 32, 96, 128, 160])
+@pytest.mark.parametrize("batch", [(), (7,)])
+def test_blocked_cholesky_matches_numpy(w, batch, rng):
+    A = _spd(rng, *batch, w, w)
+    L = np.asarray(blocked_cholesky(jnp.asarray(A)))
+    Lref = np.linalg.cholesky(A)
+    np.testing.assert_allclose(L, Lref, rtol=1e-9, atol=1e-9 * w)
+    assert np.allclose(np.triu(L, 1), 0.0)
+
+
+@pytest.mark.parametrize("w", [8, 32, 80, 128])
+def test_blocked_ldl_matches_unblocked(w, rng):
+    A = _spd(rng, 5, w, w)
+    Lb, db = blocked_ldl(jnp.asarray(A))
+    Lu, du = unblocked_ldl(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(db), np.asarray(du), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(Lb), np.asarray(Lu),
+                               rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("w", [16, 64, 128])
+def test_blocked_ldl_quasi_definite_signed(w, rng):
+    # Quasi-definite [W A'; A -D]: positive then negative pivots, no
+    # pivoting needed (Vanderbei) — reconstruction must hold and pivot
+    # signs must match the block structure.
+    h = w // 2
+    Adat = rng.standard_normal((h, h))
+    K = np.zeros((w, w))
+    K[:h, :h] = np.diag(rng.uniform(0.5, 2.0, h))
+    K[h:, :h] = Adat
+    K[:h, h:] = Adat.T
+    K[h:, h:] = -np.diag(rng.uniform(0.5, 2.0, h)) - Adat @ Adat.T
+    L, d = blocked_ldl(jnp.asarray(K))
+    rec = np.asarray(L) @ np.diag(np.asarray(d)) @ np.asarray(L).T
+    np.testing.assert_allclose(rec, K, rtol=1e-8, atol=1e-8)
+    assert np.all(np.asarray(d)[:h] > 0) and np.all(np.asarray(d)[h:] < 0)
+
+
+def test_blocked_ldl_pivot_floor(rng):
+    # A pivot that drifts to a tiny value of the CORRECT sign is clamped
+    # to sgn * floor (the quasi-definite contract: flooring rescues
+    # near-zero drift, not wrong-sign pivots — a large wrong-sign pivot
+    # means the regularization policy failed upstream).
+    w = 48
+    A = _spd(rng, w, w)
+    A[3, :] = 0.0
+    A[:, 3] = 0.0
+    A[3, 3] = 1e-12  # decoupled, nearly-zero positive pivot
+    sgn = jnp.ones((w,))
+    L, d = blocked_ldl(jnp.asarray(A), sgn=sgn, floor=1e-6)
+    d = np.asarray(d)
+    assert np.all(d >= 1e-6 - 1e-18)
+    assert np.isfinite(np.asarray(L)).all()
+
+
+@pytest.mark.parametrize("w", [8, 32, 96, 128])
+@pytest.mark.parametrize("unit", [True, False])
+def test_inv_lower_matches_numpy(w, unit, rng):
+    # Off-diagonals scaled ~1/sqrt(w): a raw N(0,1) unit triangular has an
+    # exponentially ill-conditioned inverse (entries ~1e11 at w=96), which
+    # would test conditioning, not the kernel.
+    L = np.tril(rng.standard_normal((3, w, w)) / np.sqrt(w), -1)
+    ii = np.arange(w)
+    L[:, ii, ii] = 1.0 if unit else rng.uniform(0.5, 2.0, (3, w))
+    X = (inv_unit_lower(jnp.asarray(L)) if unit
+         else inv_lower(jnp.asarray(L)))
+    np.testing.assert_allclose(
+        np.asarray(X), np.linalg.inv(L), rtol=1e-8, atol=1e-8)
+    assert np.allclose(np.triu(np.asarray(X), 1), 0.0)
