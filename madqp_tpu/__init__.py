@@ -58,6 +58,7 @@ from .models import (  # noqa: E402
     random_lp,
     random_qp,
     banded_sparse_lp,
+    separable_qp,
     grid_lp,
     grid3d_lp,
     netflow_grid_lp,
@@ -112,6 +113,7 @@ __all__ = [
     "solve_sparse_lp",
     "solve_sparse_qp",
     "banded_sparse_lp",
+    "separable_qp",
     "grid_lp",
     "grid3d_lp",
     "netflow_grid_lp",

@@ -8,7 +8,8 @@ from .qp import (
     from_coo,
 )
 from .generators import (dense_dummy_qp, simple_lp, random_lp, random_qp,
-                         banded_sparse_lp, grid_lp, grid3d_lp, netflow_grid_lp)
+                         banded_sparse_lp, separable_qp, grid_lp, grid3d_lp,
+                         netflow_grid_lp)
 from .scaling import scale_qp, ruiz_scaling_factors, unscale_stats, RuizScaling
 from .presolve import presolve_qp, PresolveInfo, PresolveStatus
 
@@ -25,6 +26,7 @@ __all__ = [
     "random_lp",
     "random_qp",
     "banded_sparse_lp",
+    "separable_qp",
     "grid_lp",
     "grid3d_lp",
     "netflow_grid_lp",

@@ -7,6 +7,8 @@ dense convex QP, test/runtests.jl:9) and the hand-built degenerate `simple_lp`
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import scipy.sparse as sp
 
@@ -160,6 +162,22 @@ def banded_sparse_lp(n: int = 20000, m: int = 10000, band: int = 5, seed: int = 
         lvar=np.zeros(n),
         uvar=np.full(n, np.inf),
         name=f"banded_sparse_lp_{n}_{m}",
+    )
+
+
+def separable_qp(n: int = 20000, m: int = 10000, band: int = 5,
+                 seed: int = 0) -> QuadraticProblem:
+    """Banded sparse QP with a strictly positive diagonal Hessian.
+
+    Separable objective ½Σ hᵢxᵢ² + cᵀx: W = H + Σ stays diagonal, so the
+    normal-equations reduction applies (solve_sparse_qp kkt_system="normal"
+    — beyond the reference's LP-only NormalKKTSystem, normalkkt.jl:45-48).
+    """
+    rng = np.random.default_rng(seed + 7)
+    lp = banded_sparse_lp(n=n, m=m, band=band, seed=seed)
+    h = rng.uniform(0.1, 10.0, size=n)
+    return dataclasses.replace(
+        lp, H=sp.diags(h).tocsr(), name=f"separable_qp_{n}_{m}"
     )
 
 

@@ -12,6 +12,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import scipy.sparse as sp
 
 from ..models.qp import QuadraticProblem, build_standard_form
 from ..utils import (
@@ -83,10 +84,15 @@ class MPCSolver:
                 " use madqp_tpu.parallel.solve_two_stage instead."
             )
         if opts.kkt_system == "sparse-normal" and not qp.is_lp:
-            raise ValueError(
-                "sparse-normal KKT supports only linear programs "
-                "(reference normalkkt.jl:45-48); use sparse-augmented."
-            )
+            # Beyond the reference (normalkkt.jl:45-48 rejects all QPs):
+            # a diagonal Hessian keeps W = H + Σ diagonal, so the normal
+            # equations still apply (see DeviceSparseNormalKKT).
+            Hcoo = sp.coo_matrix(qp.H)
+            if not (Hcoo.row == Hcoo.col).all():
+                raise ValueError(
+                    "sparse-normal KKT supports linear programs and "
+                    "diagonal-Hessian QPs; use sparse-augmented."
+                )
 
         self._sparse = opts.kkt_system in ("sparse-normal", "sparse-augmented")
         if self._sparse:
@@ -143,7 +149,7 @@ class MPCSolver:
         inverse = opts.solve_mode == "inverse"
         if opts.kkt_system == "sparse-normal":
             self._sparse_kind = "lp:auto:batched"
-            self._sparse_fp = pattern_fingerprint(self.std.A)
+            self._sparse_fp = pattern_fingerprint(self.std.A, self.std.H)
             self._sparse_make = lambda: DeviceSparseNormalKKT(
                 self.std.A, fact_dtype=fact_dtype, inverse=inverse,
             )
@@ -152,7 +158,7 @@ class MPCSolver:
             )
             kkt, kernel, jits = get_sparse_kernel(
                 self._sparse_kind, self._sparse_fp, opts, self._sparse_make)
-            self.prob = SparseLPProblem(
+            base = dict(
                 c0=jnp.asarray(self.std.c0, dtype),
                 c=jnp.asarray(self.std.c, dtype),
                 b=jnp.asarray(self.std.b, dtype),
@@ -162,6 +168,21 @@ class MPCSolver:
                 a_cols=jnp.asarray(kkt.coo_cols),
                 a_vals=jnp.asarray(canonical_coo_vals(self.std.A), dtype),
             )
+            if self.std.H is not None and self.std.H.nnz:
+                # diagonal-Hessian QP (validated in __init__): the H
+                # diagonal rides into W through the traced arrays.
+                from .sparse_common import canonical_csc
+
+                Hcoo = canonical_csc(self.std.H).tocoo()
+                self.prob = SparseQPProblem(
+                    **base,
+                    h_rows=jnp.asarray(Hcoo.row.astype(np.int32)),
+                    h_cols=jnp.asarray(Hcoo.col.astype(np.int32)),
+                    h_vals=jnp.asarray(
+                        canonical_coo_vals(self.std.H), dtype),
+                )
+            else:
+                self.prob = SparseLPProblem(**base)
         else:
             self._sparse_kind = "qp:auto"
             self._sparse_fp = pattern_fingerprint(self.std.A, self.std.H)

@@ -75,7 +75,14 @@ class SparseLPProblem(NamedTuple):
 
 class DeviceSparseNormalKKT:
     """Normal-equations KKT with on-device sparse assembly + supernodal
-    Cholesky.  LP only (reference normalkkt.jl:45-48)."""
+    Cholesky.
+
+    Goes beyond the reference's NormalKKTSystem (LP only,
+    normalkkt.jl:45-48): separable QPs — diagonal Hessian — keep
+    W = H + Σ diagonal, so the same SPD reduction
+    S = A W⁻¹ Aᵀ − δ_c I applies; the diagonal Hessian rides in through
+    the traced problem arrays (`prob.h_vals` with h_rows == h_cols).
+    Non-diagonal Hessians must use DeviceSparseAugmentedKKT."""
 
     name = "sparse-normal(device)"
 
@@ -190,8 +197,14 @@ class DeviceSparseNormalKKT:
             self.pivot_floor = 1e-6
 
     def factorize(self, prob: SparseLPProblem, pr_diag, del_c):
-        if prob.H is not None:
-            raise ValueError("NormalKKT supports only linear programs.")
+        # W = Σ (+ diag(H) for separable QPs): stays diagonal, so the
+        # normal-equations reduction is exact.  h_vals arrives through the
+        # traced problem arrays (zero-length for an LP — a static shape).
+        h_vals = getattr(prob, "h_vals", None)
+        if h_vals is not None and h_vals.shape[0]:
+            pr_diag = pr_diag + jax.ops.segment_sum(
+                h_vals, prob.h_rows, num_segments=self.n
+            )
         D = 1.0 / pr_diag
         contrib = (
             prob.a_vals[self.pair_p]
@@ -260,19 +273,17 @@ class DeviceSparseNormalKKT:
 
 def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
                     mode: str = "batched", **options):
-    """Solve a (large sparse) LP fully on device: sparse matvecs + on-device
-    normal-equation assembly + supernodal Cholesky.
+    """Solve a (large sparse) LP — or separable (diagonal-Hessian) QP —
+    fully on device: sparse matvecs + on-device normal-equation assembly +
+    supernodal Cholesky.
 
     Returns ExecutionStats like mq.solve.
     """
     import time
 
     from ..solver.mpc import MPCKernel
-    from ..solver.sparse_qp import finish_stats
+    from ..solver.sparse_qp import SparseQPProblem, finish_stats
     from ..utils import load_options
-
-    if not qp.is_lp:
-        raise ValueError("solve_sparse_lp handles LPs only (use mq.solve).")
 
     from .sparse_common import (canonical_coo_vals, get_sparse_kernel,
                                 pattern_fingerprint)
@@ -281,7 +292,14 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     std, info, x0, y0 = build_standard_form_sparse(
         qp, scaling=opts.scaling, max_gradient=opts.max_gradient
     )
-    fp = pattern_fingerprint(std.A)
+    if std.H is not None and std.H.nnz:
+        Hcoo = sp.coo_matrix(std.H)
+        if not (Hcoo.row == Hcoo.col).all():
+            raise ValueError(
+                "solve_sparse_lp handles LPs and diagonal-Hessian QPs only "
+                "(use solve_sparse_qp for general sparse QPs)."
+            )
+    fp = pattern_fingerprint(std.A, std.H)
 
     def kernel_for(o):
         # Pattern-keyed kernel reuse: same sparsity + options => no
@@ -306,7 +324,7 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
 
     kkt, kernel, jits = kernel_for(opts1)
     dtype = jnp.dtype(opts.dtype)
-    prob = SparseLPProblem(
+    base = dict(
         c0=jnp.asarray(std.c0, dtype),
         c=jnp.asarray(std.c, dtype),
         b=jnp.asarray(std.b, dtype),
@@ -316,6 +334,18 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
         a_cols=jnp.asarray(kkt.coo_cols),
         a_vals=jnp.asarray(canonical_coo_vals(std.A), dtype),
     )
+    if std.H is not None and std.H.nnz:
+        from .sparse_common import canonical_csc
+
+        Hcoo = canonical_csc(std.H).tocoo()
+        prob = SparseQPProblem(
+            **base,
+            h_rows=jnp.asarray(Hcoo.row.astype(np.int32)),
+            h_cols=jnp.asarray(Hcoo.col.astype(np.int32)),
+            h_vals=jnp.asarray(canonical_coo_vals(std.H), dtype),
+        )
+    else:
+        prob = SparseLPProblem(**base)
     lb = jnp.asarray(std.lb, dtype)
     ub = jnp.asarray(std.ub, dtype)
     t0 = time.time()

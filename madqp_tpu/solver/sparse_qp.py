@@ -273,11 +273,32 @@ def finish_stats(qp: QuadraticProblem, info, opts, final, wall,
     )
 
 
-def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto", **options):
-    """Solve a (large sparse) LP or QP fully on device via the augmented
-    KKT + supernodal signed LDLᵀ.  Returns ExecutionStats like mq.solve."""
+def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
+                    kkt_system: str = "augmented", **options):
+    """Solve a (large sparse) LP or QP fully on device.
+
+    kkt_system: "augmented" (default) — K2 supernodal signed LDLᵀ (any
+    QP); "normal" — normal equations (LP / diagonal-Hessian QP only;
+    m×m SPD Cholesky, smaller and pivot-free); "auto" — normal when the
+    Hessian is absent or diagonal, augmented otherwise.  Returns
+    ExecutionStats like mq.solve."""
     from ..solver.mpc import MPCKernel
     from ..utils import load_options
+
+    if kkt_system not in ("auto", "augmented", "normal"):
+        raise ValueError(
+            f"kkt_system={kkt_system!r}: expected auto|augmented|normal")
+    if kkt_system != "augmented":
+        Hd = qp.H
+        diag_h = Hd is None or (
+            (lambda c: (c.row == c.col).all())(sp.coo_matrix(Hd)))
+        if kkt_system == "normal" and not diag_h:
+            raise ValueError(
+                "kkt_system='normal' needs an LP or diagonal Hessian.")
+        if diag_h:
+            from .sparse_lp import solve_sparse_lp
+
+            return solve_sparse_lp(qp, order=order, **options)
 
     from .sparse_common import (canonical_coo_vals, get_sparse_kernel,
                                 pattern_fingerprint)

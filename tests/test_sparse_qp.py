@@ -146,3 +146,49 @@ def test_sparse_normal_rejects_qp_in_driver():
     qp = random_qp(n=20, m=10, seed=0)
     with pytest.raises(ValueError):
         mq.MPCSolver(qp, kkt_system="sparse-normal")
+
+
+def test_sparse_qp_normal_diag_hessian():
+    """Diagonal-Hessian QPs ride the normal-equations reduction (beyond
+    the reference's LP-only NormalKKTSystem, normalkkt.jl:45-48): W = H + Σ
+    stays diagonal, so S = A W⁻¹ Aᵀ is exact."""
+    from madqp_tpu.models.generators import separable_qp
+
+    qp = separable_qp(n=120, m=60, band=4, seed=2)
+    ref = mq.solve(qp, tol=1e-8, print_level=0)
+    for kkt_system in ("normal", "auto"):
+        st = solve_sparse_qp(qp, tol=1e-8, print_level=0,
+                             kkt_system=kkt_system)
+        assert st.status == ref.status
+        assert abs(st.objective - ref.objective) <= 1e-7 * max(
+            1.0, abs(ref.objective))
+        np.testing.assert_allclose(st.solution, ref.solution, atol=1e-6)
+
+
+def test_sparse_qp_auto_falls_back_to_augmented():
+    """auto with a non-diagonal Hessian must still solve (augmented)."""
+    qp = random_qp(n=40, m=20, seed=5)
+    st = solve_sparse_qp(qp, tol=1e-8, print_level=0, kkt_system="auto")
+    ref = mq.solve(qp, tol=1e-8, print_level=0)
+    assert st.status == ref.status
+    assert abs(st.objective - ref.objective) <= 1e-7 * max(
+        1.0, abs(ref.objective))
+
+
+def test_sparse_qp_normal_rejects_nondiag_hessian():
+    qp = random_qp(n=20, m=10, seed=0)
+    with pytest.raises(ValueError, match="diagonal"):
+        solve_sparse_qp(qp, tol=1e-8, print_level=0, kkt_system="normal")
+
+
+def test_driver_sparse_normal_diag_hessian():
+    """MPCSolver(kkt_system='sparse-normal') accepts diagonal-H QPs."""
+    from madqp_tpu.models.suite import svm_qp
+
+    qp = svm_qp(50, 8, seed=4)
+    st = mq.MPCSolver(qp, kkt_system="sparse-normal", tol=1e-8,
+                      print_level=0).solve()
+    ref = mq.solve(qp, tol=1e-8, print_level=0)
+    assert st.status == ref.status
+    assert abs(st.objective - ref.objective) <= 1e-6 * max(
+        1.0, abs(ref.objective))
