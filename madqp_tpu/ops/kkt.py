@@ -72,12 +72,52 @@ class DenseCondensedKKT:
                  solve_mode: str = "chol"):
         self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
         self.solve_mode = solve_mode
+        self.blocked = chol_backend == "blocked"
         if chol_backend == "pallas":
             from .pallas_chol import select_cholesky
 
             self._chol = select_cholesky("pallas")
         else:
             self._chol = lambda M: jsl.cholesky(M, lower=True)
+
+    def _blocked_inv(self, M):
+        """GEMM-rich factor + explicit inverse (ops/blocked_dense): XLA's
+        dense cholesky/triangular_solve lower to sequential column sweeps
+        on TPU; the blocked LDL keeps the O(n^3) work in matmuls and the
+        explicit inverse turns every later backsolve into one matvec.
+        Returns (chol_like_factor_for_factor_ok, unscaled M^-1)."""
+        from .blocked_dense import blocked_ldl, inv_unit_lower
+
+        d = jnp.diagonal(M)
+        scale = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(d), 1e-300))
+        Ms = scale[:, None] * M * scale[None, :]
+        if self.fact_dtype is not None and Ms.dtype != self.fact_dtype:
+            Ms = Ms.astype(self.fact_dtype)
+        Lu, dd = blocked_ldl(Ms)
+        i11 = inv_unit_lower(Lu)
+        # M^-1 = D Ms^-1 D,  Ms^-1 = Lu^-T D_d^-1 Lu^-1
+        Minv_s = i11.T @ (i11 / dd[:, None])
+        Minv = (scale[:, None] * Minv_s.astype(scale.dtype)) * scale[None, :]
+        # sqrt(dd) is NaN for a negative pivot, so factor_ok's
+        # isfinite-and-positive diagonal check still detects failure.
+        return Lu * jnp.sqrt(dd)[None, :], Minv
+
+    def _factorize_blocked(self, prob, pr_diag, del_c):
+        H, A = prob.H, prob.A
+        m = A.shape[0]
+        if H is None:
+            chol_W, W_inv = None, None
+            Winv_AT = A.T / pr_diag[:, None]
+        else:
+            chol_W, W_inv = self._blocked_inv(H + jnp.diag(pr_diag))
+            Winv_AT = W_inv @ A.T
+        S = A @ Winv_AT - del_c * jnp.eye(m, dtype=A.dtype)
+        chol_S, S_inv = self._blocked_inv(S)
+        return CondensedFactors(
+            chol_W=chol_W, w_scale=None, w_diag=pr_diag,
+            chol_S=chol_S, s_scale=None, A=A,
+            W_inv=W_inv, S_inv=S_inv,
+        )
 
     def _explicit_inverse(self, chol, scale):
         """Unscaled explicit inverse through the scaled factorization:
@@ -107,6 +147,8 @@ class DenseCondensedKKT:
         return (scale * xs.astype(out_dtype))
 
     def factorize(self, prob, pr_diag, del_c):
+        if self.blocked:
+            return self._factorize_blocked(prob, pr_diag, del_c)
         H, A = prob.H, prob.A
         m = A.shape[0]
         if H is None:

@@ -61,7 +61,9 @@ class MPCKernel:
         fact_dtype = opts.factorization_dtype or None
         self.kkt = kkt if kkt is not None else make_kkt(
             opts.kkt_system, fact_dtype=fact_dtype,
-            chol_backend="pallas" if opts.linear_solver == "pallas" else "xla",
+            chol_backend=(opts.linear_solver
+                          if opts.linear_solver in ("pallas", "blocked")
+                          else "xla"),
             solve_mode=opts.solve_mode,
         )
         self.dtype = jnp.dtype(opts.dtype)

@@ -116,6 +116,9 @@ class KKTSystem:
 class LinearSolverBackend:
     DENSE = "dense"            # padded dense factorization (lax.linalg / Pallas)
     PALLAS = "pallas"          # Pallas blocked kernels
+    BLOCKED = "blocked"        # GEMM-rich blocked LDL + explicit triangular
+                               # inverse (ops/blocked_dense): backsolves are
+                               # matvecs; avoids XLA's sequential sweeps
     SPARSE = "sparse"          # host symbolic + on-device numeric (block sparse)
 
 

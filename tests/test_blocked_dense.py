@@ -93,3 +93,26 @@ def test_inv_lower_matches_numpy(w, unit, rng):
     np.testing.assert_allclose(
         np.asarray(X), np.linalg.inv(L), rtol=1e-8, atol=1e-8)
     assert np.allclose(np.triu(np.asarray(X), 1), 0.0)
+
+
+def test_dense_solver_blocked_backend_matches():
+    """linear_solver='blocked' (GEMM-rich LDL + explicit inverses in the
+    condensed dense KKT) must be iteration-identical to the XLA backend."""
+    import madqp_tpu as mq
+
+    qp = mq.random_qp(n=80, m=40, seed=3, ineq=True)
+    ref = mq.solve(qp, tol=1e-8, print_level=0)
+    st = mq.solve(qp, tol=1e-8, print_level=0, linear_solver="blocked")
+    assert st.status == ref.status
+    assert st.iter == ref.iter
+    assert st.objective == pytest.approx(ref.objective, rel=1e-9)
+    st32 = mq.solve(qp, tol=1e-8, print_level=0, linear_solver="blocked",
+                    factorization_dtype="float32", max_refine_steps=1)
+    assert st32.status == ref.status
+    assert st32.objective == pytest.approx(ref.objective, rel=1e-7)
+
+    lp = mq.banded_sparse_lp(n=150, m=70, band=4, seed=1)
+    r = mq.solve(lp, tol=1e-8, print_level=0)
+    s = mq.solve(lp, tol=1e-8, print_level=0, linear_solver="blocked")
+    assert (s.status, s.iter) == (r.status, r.iter)
+    assert s.objective == pytest.approx(r.objective, rel=1e-9)
