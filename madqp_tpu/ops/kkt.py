@@ -239,17 +239,48 @@ class K2Factors(NamedTuple):
     piv: jax.Array
 
 
+class K2BlockedFactors(NamedTuple):
+    Kinv: jax.Array   # explicit (unscaled) K^-1: every solve is one matvec
+    d: jax.Array      # LDL pivots (inertia check)
+    sgn: jax.Array    # expected pivot signs (+1 x n, -1 x m)
+
+
 class DenseK2KKT:
-    """Full augmented symmetric-indefinite system [W A'; A dc I], dense LU.
+    """Full augmented symmetric-indefinite system [W A'; A dc I].
 
     MadNLP SparseKKTSystem analog (the reference default, src/utils.jl:108).
+    Backends: dense LU (default) or, with chol_backend='blocked', the
+    GEMM-rich signed LDLᵀ (no pivoting — justified by quasi-definiteness
+    under the IPM's regularization, same as the sparse augmented path) with
+    an explicit inverse so backsolves are matvecs.
     """
 
     name = "k2"
 
     def __init__(self, fact_dtype=None, chol_backend: str = "xla"):
-        # chol_backend unused: LU formulation
         self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
+        self.blocked = chol_backend == "blocked"
+
+    def _factorize_blocked(self, K, m, scale=None):
+        from .blocked_dense import blocked_ldl, inv_unit_lower
+
+        nm = K.shape[0]
+        if self.fact_dtype is not None and K.dtype != self.fact_dtype:
+            Kf = K.astype(self.fact_dtype)
+        else:
+            Kf = K
+        sgn = jnp.concatenate([
+            jnp.ones(nm - m, Kf.dtype), -jnp.ones(m, Kf.dtype)])
+        # cuDSS-style static pivot floor in f32 (refinement absorbs it);
+        # meaningful only on a ~unit-diagonal matrix, i.e. under K2.5.
+        floor = 1e-6 if (self.fact_dtype == jnp.float32
+                         and scale is not None) else 0.0
+        Lu, d = blocked_ldl(Kf, sgn=sgn, floor=floor)
+        i11 = inv_unit_lower(Lu)
+        Kinv = (i11.T @ (i11 / d[:, None])).astype(K.dtype)
+        if scale is not None:   # K2.5: fold D Ks^-1 D into the inverse
+            Kinv = (scale[:, None] * Kinv) * scale[None, :]
+        return K2BlockedFactors(Kinv=Kinv, d=d, sgn=sgn)
 
     def _assemble(self, H, A, pr_diag, del_c):
         n = pr_diag.shape[0]
@@ -265,19 +296,27 @@ class DenseK2KKT:
 
     def factorize(self, prob, pr_diag, del_c):
         K = self._assemble(prob.H, prob.A, pr_diag, del_c)
+        if self.blocked:
+            return self._factorize_blocked(K, prob.A.shape[0])
         if self.fact_dtype is not None and K.dtype != self.fact_dtype:
             K = K.astype(self.fact_dtype)
         lu, piv = jsl.lu_factor(K)
         return K2Factors(lu=lu, piv=piv)
 
-    def solve(self, f: K2Factors, rx, ry):
+    def solve(self, f, rx, ry):
         n = rx.shape[0]
         rhs = jnp.concatenate([rx, ry])
+        if isinstance(f, K2BlockedFactors):
+            d = (f.Kinv @ rhs.astype(f.Kinv.dtype)).astype(rx.dtype)
+            return d[:n], d[n:]
         d = jsl.lu_solve((f.lu, f.piv), rhs.astype(f.lu.dtype))
         d = d.astype(rx.dtype)
         return d[:n], d[n:]
 
-    def factor_ok(self, f: K2Factors):
+    def factor_ok(self, f):
+        if isinstance(f, K2BlockedFactors):
+            # pivot-sign inertia check (quasi-definite: +1 x n, -1 x m)
+            return jnp.all(jnp.isfinite(f.d)) & jnp.all(f.d * f.sgn > 0.0)
         dU = jnp.diagonal(f.lu)
         return jnp.all(jnp.isfinite(dU)) & jnp.all(jnp.abs(dU) > 0.0)
 
@@ -297,12 +336,17 @@ class DenseK25KKT(DenseK2KKT):
         dK = jnp.abs(jnp.diagonal(K))
         scale = 1.0 / jnp.sqrt(jnp.maximum(dK, 1e-8))
         Ks = scale[:, None] * K * scale[None, :]
+        if self.blocked:
+            return self._factorize_blocked(Ks, prob.A.shape[0], scale=scale)
         if self.fact_dtype is not None and Ks.dtype != self.fact_dtype:
             Ks = Ks.astype(self.fact_dtype)
         lu, piv = jsl.lu_factor(Ks)
         return K25Factors(lu=lu, piv=piv, scale=scale)
 
-    def solve(self, f: "K25Factors", rx, ry):
+    def solve(self, f, rx, ry):
+        if isinstance(f, K2BlockedFactors):
+            # scale folded into the explicit inverse at factorize time
+            return DenseK2KKT.solve(self, f, rx, ry)
         n = rx.shape[0]
         rhs = (jnp.concatenate([rx, ry]) * f.scale).astype(f.lu.dtype)
         d = jsl.lu_solve((f.lu, f.piv), rhs).astype(rx.dtype) * f.scale

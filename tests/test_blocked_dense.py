@@ -116,3 +116,22 @@ def test_dense_solver_blocked_backend_matches():
     s = mq.solve(lp, tol=1e-8, print_level=0, linear_solver="blocked")
     assert (s.status, s.iter) == (r.status, r.iter)
     assert s.objective == pytest.approx(r.objective, rel=1e-9)
+
+
+def test_k2_blocked_signed_ldl_matches_lu():
+    """K2/K2.5 with the blocked backend (signed LDL + explicit inverse,
+    pivot-sign inertia check) match the LU backend iteration-for-iteration."""
+    import madqp_tpu as mq
+
+    qp = mq.random_qp(n=60, m=30, seed=2, ineq=True)
+    ref = mq.solve(qp, tol=1e-8, print_level=0, kkt_system="k2")
+    for ks in ("k2", "k2.5"):
+        st = mq.solve(qp, tol=1e-8, print_level=0, kkt_system=ks,
+                      linear_solver="blocked")
+        assert (st.status, st.iter) == (ref.status, ref.iter)
+        assert st.objective == pytest.approx(ref.objective, rel=1e-9)
+    st32 = mq.solve(qp, tol=1e-8, print_level=0, kkt_system="k2.5",
+                    linear_solver="blocked", factorization_dtype="float32",
+                    max_refine_steps=2)
+    assert st32.status == ref.status
+    assert st32.objective == pytest.approx(ref.objective, rel=1e-7)
