@@ -66,7 +66,10 @@ def run_instance(name, qp, options):
             if qp_s.is_lp:
                 stats = mq.solve_sparse_lp(qp_s, **solve_opts)
             else:
-                stats = mq.solve_sparse_qp(qp_s, **solve_opts)
+                # auto: diagonal-Hessian QPs ride the smaller SPD
+                # normal-equations reduction; general H -> augmented LDL
+                stats = mq.solve_sparse_qp(qp_s, kkt_system="auto",
+                                           **solve_opts)
         else:
             stats = mq.solve(qp_s, **solve_opts)
         record["total_time"] = time.time() - t0
@@ -111,6 +114,10 @@ def main():
     ap.add_argument("--max-iter", type=int, default=300)
     ap.add_argument("--max-ncorr", type=int, default=3)
     ap.add_argument("--kkt", default="condensed")
+    ap.add_argument("--linear-solver", default="dense",
+                    choices=["dense", "blocked", "pallas"],
+                    help="dense-path factorization backend (blocked = "
+                         "GEMM-rich LDL + explicit inverses)")
     ap.add_argument("--backend",
                     choices=["device", "host", "sparse-device"],
                     default="device",
@@ -138,6 +145,7 @@ def main():
         max_iter=args.max_iter,
         max_ncorr=args.max_ncorr,
         kkt_system=args.kkt,
+        linear_solver=args.linear_solver,
         step_rule=mq.AdaptiveStep(0.995),
         regularization=mq.FixedRegularization(1e-8, -1e-8),
         backend=args.backend,
