@@ -1,4 +1,5 @@
 from .batched import BatchedMPCSolver, solve_batched, pad_standard
+from .sparse_batched import solve_sparse_batched
 from .structured import (
     TwoStageProblem,
     SchurKKT,
@@ -11,6 +12,7 @@ from .structured import (
 __all__ = [
     "BatchedMPCSolver",
     "solve_batched",
+    "solve_sparse_batched",
     "pad_standard",
     "TwoStageProblem",
     "SchurKKT",
