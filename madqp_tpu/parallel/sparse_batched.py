@@ -17,6 +17,7 @@ receding-horizon re-solves, Monte-Carlo LP/QP studies.
 from __future__ import annotations
 
 import time
+from collections import OrderedDict
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -42,6 +43,22 @@ def _diag_hessian(H) -> bool:
         return True
     Hcoo = sp.coo_matrix(H)
     return bool((Hcoo.row == Hcoo.col).all())
+
+
+def _mesh_key(mesh: Optional[Mesh]):
+    if mesh is None:
+        return None
+    return (tuple(mesh.axis_names), mesh.devices.shape,
+            tuple(d.id for d in mesh.devices.flat))
+
+
+# Pattern-keyed cache of (kkt, kernel, wrapped-jit) per phase, mirroring
+# sparse_common.get_sparse_kernel: the vmapped supernodal trace is the
+# dominant fixed cost of a batched solve (retrace >> device time), and the
+# KKT objects bake only the PATTERN (values arrive via SparseQPProblem),
+# so reuse across same-pattern batches is safe.
+_BATCHED_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_BATCHED_CACHE_SIZE = 8
 
 
 def solve_sparse_batched(
@@ -94,7 +111,22 @@ def solve_sparse_batched(
         return DeviceSparseAugmentedKKT(std0.H, std0.A, order=order,
                                         fact_dtype=fd, inverse=inv)
 
-    kkt1 = make_kkt(opts1)
+    fp = fps.pop()
+    mkey = _mesh_key(mesh)
+
+    def cached(o, entry, build):
+        key = (fp, o, use_normal, order, mkey, batch_axis, entry)
+        hit = _BATCHED_CACHE.get(key)
+        if hit is not None:
+            _BATCHED_CACHE.move_to_end(key)
+            return hit
+        val = build()
+        _BATCHED_CACHE[key] = val
+        while len(_BATCHED_CACHE) > _BATCHED_CACHE_SIZE:
+            _BATCHED_CACHE.popitem(last=False)
+        return val
+
+    kkt1 = cached(opts1, "kkt", lambda: make_kkt(opts1))
 
     # --- stacked problem arrays (canonical CSC value order per instance) --
     dtype = jnp.dtype(opts.dtype)
@@ -154,8 +186,8 @@ def solve_sparse_batched(
             check_vma=False,
         ))
 
-    kernel1 = MPCKernel(opts1, kkt=kkt1)
-    solve1 = wrap(kernel1.solve_from, 4)
+    solve1 = cached(opts1, "solve",
+                    lambda: wrap(MPCKernel(opts1, kkt=kkt1).solve_from, 4))
 
     t0 = time.time()
     with jax.default_matmul_precision("highest"):
@@ -163,8 +195,10 @@ def solve_sparse_batched(
         extra = None
         if two_phase:
             extra = np.asarray(final.k, np.int64)
-            kernel2 = MPCKernel(opts2, kkt=make_kkt(opts2))
-            solve2 = wrap(kernel2.solve_from_warm, 6)
+            solve2 = cached(opts2, "warm_solve", lambda: wrap(
+                MPCKernel(opts2, kkt=cached(opts2, "kkt",
+                                            lambda: make_kkt(opts2)))
+                .solve_from_warm, 6))
             final = jax.block_until_ready(
                 solve2(prob, final.x, final.y, final.zl, final.zu, lb, ub)
             )

@@ -69,3 +69,26 @@ def test_batched_sparse_rejects_ragged_patterns():
            mq.banded_sparse_lp(n=80, m=40, band=4, seed=0)]
     with pytest.raises(ValueError, match="sparsity pattern"):
         solve_sparse_batched(qps, print_level=0)
+
+
+def test_batched_sparse_cache_reuse_across_values():
+    """Second same-pattern batch must hit the kernel cache (no rebuild)
+    and still solve NEW values correctly — the cached KKT bakes only the
+    pattern; values flow in through SparseQPProblem."""
+    from madqp_tpu.parallel import sparse_batched as sb
+
+    qps_a = [mq.banded_sparse_lp(n=100, m=50, band=4, seed=s)
+             for s in (0, 1)]
+    res_a = solve_sparse_batched(qps_a, tol=1e-8, print_level=0)
+    n_entries = len(sb._BATCHED_CACHE)
+    assert n_entries >= 1
+
+    # same pattern, different seeds → different values/objectives
+    qps_b = [mq.banded_sparse_lp(n=100, m=50, band=4, seed=s)
+             for s in (7, 8)]
+    res_b = solve_sparse_batched(qps_b, tol=1e-8, print_level=0)
+    assert len(sb._BATCHED_CACHE) == n_entries   # pure cache hit
+    for r, o in zip(res_b, _objectives(qps_b)):
+        assert r.status == mq.Status.SOLVE_SUCCEEDED
+        assert r.objective == pytest.approx(o, rel=1e-8)
+    assert res_b[0].objective != pytest.approx(res_a[0].objective, rel=1e-3)
