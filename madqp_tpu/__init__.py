@@ -67,6 +67,7 @@ from .models import (  # noqa: E402
     presolve_qp,
 )
 from .io import read_mps, write_mps  # noqa: E402
+from .diff import qp_layer, qp_layer_general, QPLayerSolution  # noqa: E402
 from .solver import (  # noqa: E402
     MPCSolver,
     solve,
@@ -106,6 +107,9 @@ __all__ = [
     "presolve_qp",
     "read_mps",
     "write_mps",
+    "qp_layer",
+    "qp_layer_general",
+    "QPLayerSolution",
     "MPCSolver",
     "solve",
     "HostMPCSolver",
