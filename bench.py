@@ -13,6 +13,43 @@ import time
 import numpy as np
 
 
+def _ensure_live_backend(jax, probe_timeout=150):
+    """Fall back to CPU if the TPU tunnel is down.
+
+    In this environment the tunneled TPU backend can hang *silently* (even
+    `jax.devices()` blocks forever), which would turn the bench into a
+    timeout with no JSON line.  Probe device enumeration + one tiny
+    computation in a subprocess with a hard timeout; on failure, switch
+    this process to the CPU backend before the first computation (env vars
+    are too late — the config update is the only thing that works here).
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+        os.environ.pop("MADQP_COMPILE_CACHE", None)  # TPU artifacts poison CPU
+        return
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(jax.devices());"
+             "print(float(jnp.ones((8, 8)).sum()))"],
+            timeout=probe_timeout, capture_output=True)
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print("# device probe failed/hung -> CPU fallback", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        # The persistent compile cache holds TPU-compiled artifacts whose
+        # AOT reload on a machine-feature-mismatched CPU client stalls for
+        # minutes — don't let the CPU fallback touch it.
+        os.environ.pop("MADQP_COMPILE_CACHE", None)
+
+
 def main():
     import os
 
@@ -22,6 +59,8 @@ def main():
         "MADQP_COMPILE_CACHE", os.path.expanduser("~/.cache/madqp_jax")
     )
     import jax
+
+    _ensure_live_backend(jax)
     import madqp_tpu as mq
     from madqp_tpu.models.qp import build_standard_form
     from madqp_tpu.solver import state as S
