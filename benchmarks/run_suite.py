@@ -103,6 +103,13 @@ def generated_suite(kind: str, sizes):
 
 
 def main():
+    # Honor JAX_PLATFORMS even though jax is pre-imported at interpreter
+    # startup in this environment (env alone is too late; the config
+    # update must land before the first computation).
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", help="directory of .mps/.qps/.sif[.gz|.bz2] files")
     ap.add_argument("--suite", default="random_qp",

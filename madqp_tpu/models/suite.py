@@ -83,9 +83,19 @@ def multicommodity_lp(nodes: int = 10, ncomm: int = 3,
     # sums to zero (rank deficient); nc rows per commodity keeps full rank.
     nc = nodes - 1
     b = np.zeros(nc * ncomm)
+    # Feasibility by construction: route every commodity along the ring
+    # (arcs 0..nodes-1 are i -> i+1) and size the shared capacities to
+    # admit that flow — random draws otherwise produce infeasible
+    # instances (shared-arc cuts smaller than routed demand; observed at
+    # nodes=10, ncomm=3, seed=1 and certified by the Farkas check).
+    ring_usage = np.zeros(na)
     for k in range(ncomm):
         s, t = rng.choice(nodes, 2, replace=False)
         dem = float(rng.integers(5, 20))
+        i = int(s)
+        while i != t:
+            ring_usage[i] += dem
+            i = (i + 1) % nodes
         if s < nc:
             b[k * nc + s] = dem
         if t < nc:
@@ -106,7 +116,7 @@ def multicommodity_lp(nodes: int = 10, ncomm: int = 3,
             rows.append(nc * ncomm + a)
             cols.append(k * na + a)
             vals.append(1.0)
-    cap = rng.uniform(15.0, 40.0, na)
+    cap = ring_usage + rng.uniform(15.0, 40.0, na)
     A = sp.coo_matrix((vals, (rows, cols)),
                       shape=(nc * ncomm + na, n)).tocsr()
     lcon = np.concatenate([b, np.zeros(na)])

@@ -287,6 +287,53 @@ class MPCSolver:
             self._phase2 = None
             return
         self._phase2 = None
+        self._phase2_mode = "always"
+        rescue = (opts.factorization_dtype
+                  and opts.factorization_dtype != opts.dtype
+                  and opts.precision_scheme == "two-phase")
+        if rescue:
+            # Dense mixed precision usually reaches tol in pure f32+IR
+            # (bounded element growth at these sizes, BENCH_NOTES), so
+            # unlike the sparse paths the full-precision phase runs only
+            # as a RESCUE: the f32 kernel runs to tol with stall detection
+            # on, and a warm-started full-precision endgame is chained
+            # only when it exits unconverged (stall / max_iter / step
+            # error — e.g. rank-deficient A where the f32 condensed Schur
+            # stalls at ~1e-5 feasibility while f64 solves).
+            import dataclasses
+
+            opts1 = dataclasses.replace(
+                opts, stall_exit=opts.stall_exit if opts.stall_exit > 0
+                else 5)
+            opts2 = dataclasses.replace(opts, factorization_dtype="")
+            fns1 = _jitted_kernel(opts1)
+            fns2 = _jitted_kernel(opts2)
+            self.kernel = fns1["kernel"]
+            self._iter_jit = fns1["iter"]
+            self._init_jit = fns1["init"]
+            self._warm_init_jit = fns1["warm_init"]
+            self._phase2 = (fns2["warm_init"], fns2["iter"])
+            self._phase2_mode = "rescue"
+
+            def _solve_r(prob, x0, y0, lb, ub):
+                f1 = fns1["solve"](prob, x0, y0, lb, ub)
+                if int(f1.status) == S.SUCCESS:
+                    return f1
+                f2 = fns2["warm_solve"](prob, f1.x, f1.y, f1.zl, f1.zu,
+                                        lb, ub)
+                return f2._replace(k=f1.k + f2.k)
+
+            def _warm_r(prob, x0, y0, zl0, zu0, lb, ub):
+                f1 = fns1["warm_solve"](prob, x0, y0, zl0, zu0, lb, ub)
+                if int(f1.status) == S.SUCCESS:
+                    return f1
+                f2 = fns2["warm_solve"](prob, f1.x, f1.y, f1.zl, f1.zu,
+                                        lb, ub)
+                return f2._replace(k=f1.k + f2.k)
+
+            self._solve_jit = _solve_r
+            self._warm_solve_jit = _warm_r
+            return
         fns = _jitted_kernel(opts)
         self.kernel = fns["kernel"]
         self._solve_jit = fns["solve"]
@@ -362,6 +409,16 @@ class MPCSolver:
                 status = Status.MAXIMUM_WALLTIME_EXCEEDED
             else:
                 status = _STATUS_MAP.get(int(final.status), Status.INTERNAL_ERROR)
+                if status in (Status.MAXIMUM_ITERATIONS_EXCEEDED,
+                              Status.ERROR_IN_STEP_COMPUTATION,
+                              Status.INFEASIBLE_PROBLEM_DETECTED):
+                    # Non-convergence with diverging duals is how an IPM
+                    # manifests an empty feasible set; upgrade to a
+                    # *certified* infeasibility status when the final dual
+                    # direction is a Farkas certificate.  (The reference
+                    # has no infeasibility status at all — SURVEY §4.)
+                    if self._farkas_certificate(final):
+                        status = Status.INFEASIBLE_PROBLEM_DETECTED
         except MadQPError as e:
             status = e.status
             if self.opts.rethrow_error:
@@ -376,6 +433,45 @@ class MPCSolver:
             except Exception:
                 pass  # measurement is best-effort; never fail the solve
         return self._build_stats(final, status)
+
+    def _farkas_certificate(self, final, rtol=1e-6, vtol=1e-9) -> bool:
+        """Certified primal infeasibility from the final dual direction.
+
+        For the internal standard form {Ax = b, lb <= x <= ub (masked)},
+        the feasible set is empty iff some y has
+            sup_{lb <= x <= ub} (A'y)'x  <  b'y        (Farkas lemma).
+        The sup separates per coordinate: v_i ub_i for v_i > 0 (+inf if
+        unbounded above), v_i lb_i for v_i < 0 (+inf if unbounded below).
+        Diverging multipliers approach such a ray directionally, so the
+        check normalizes y to unit infinity norm and allows |v_i| <= vtol
+        as zero (certified up to tolerance — "local infeasibility" in the
+        status taxonomy).  Pure host-side numpy on self.std: runs once at
+        exit, never in the hot loop.
+        """
+        try:
+            std = self.std
+            y = np.asarray(final.y, dtype=np.float64)
+            y = np.where(np.isfinite(y), y, 0.0)
+            ny = float(np.max(np.abs(y))) if y.size else 0.0
+            if ny == 0.0:
+                return False
+            y = y / ny
+            thresh = rtol * max(1.0, float(np.max(np.abs(std.b))))
+
+            def certifies(yd):
+                v = np.asarray(std.A.T @ yd).ravel()
+                v = np.where(np.abs(v) <= vtol, 0.0, v)
+                pos, neg = v > 0.0, v < 0.0
+                if np.any(pos & ~std.has_ub) or np.any(neg & ~std.has_lb):
+                    return False  # sup is +inf via an unbounded coordinate
+                sup = float(np.sum(v[pos] * std.ub[pos])
+                            + np.sum(v[neg] * std.lb[neg]))
+                return float(std.b @ yd) - sup > thresh
+
+            # the diverging iterate approaches the ray up to sign convention
+            return certifies(y) or certifies(-y)
+        except Exception:  # pragma: no cover — certificate is best-effort
+            return False
 
     def _measure_linear_solver(self, final) -> float:
         """Estimate cumulative factorize+backsolve time (the reference's
@@ -524,6 +620,9 @@ class MPCSolver:
             return state
 
         state = run(self._iter_jit, state, 0)
+        if (getattr(self, "_phase2_mode", "always") == "rescue"
+                and int(state.status) == S.SUCCESS):
+            return state  # dense rescue mode: endgame only on failure
         if getattr(self, "_phase2", None) is not None \
                 and not self._walltime_exceeded:
             # Two-phase mixed precision: chain the warm-started f64

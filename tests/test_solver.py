@@ -273,6 +273,34 @@ class TestInfeasibilityDetection:
         s = mq.solve(mq.dense_dummy_qp(15, 8, seed=9), **QUIET)
         assert s.status == Status.SOLVE_SUCCEEDED
 
+    def test_farkas_certificate_upgrades_max_iter(self):
+        """With max_iter too small for the divergence heuristic to fire,
+        the exit-time Farkas check must certify infeasibility and upgrade
+        MAXIMUM_ITERATIONS_EXCEEDED to INFEASIBLE_PROBLEM_DETECTED."""
+        s = mq.solve(self._infeasible_lp(), max_iter=8, **QUIET)
+        assert s.status == Status.INFEASIBLE_PROBLEM_DETECTED
+
+    def test_farkas_not_fooled_by_hard_feasible(self):
+        """A feasible problem stopped early must stay MAX_ITER: the final
+        dual direction of a convergent run is no Farkas certificate."""
+        qp = mq.dense_dummy_qp(30, 12, seed=3)
+        s = mq.solve(qp, max_iter=2, **QUIET)
+        assert s.status == Status.MAXIMUM_ITERATIONS_EXCEEDED
+
+    def test_suite_multicommodity_feasible_all_seeds(self):
+        """Regression: the shared-capacity draw used to produce certified-
+        infeasible instances (nodes=10, ncomm=3, seed=1); capacities are
+        now sized to admit a ring routing of every commodity."""
+        from madqp_tpu.models.suite import multicommodity_lp
+
+        for seed in range(3):
+            qp = multicommodity_lp(8, 2, seed=seed)
+            qp_p, _, ok = mq.presolve_qp(qp)
+            assert ok
+            qp_s, _ = mq.scale_qp(qp_p)
+            s = mq.solve(qp_s, tol=1e-8, **QUIET)
+            assert s.status == Status.SOLVE_SUCCEEDED, seed
+
 
 class TestBucketedPadding:
     """pad_mode='bucket' pads to shape buckets (ragged-suite compile
@@ -385,3 +413,42 @@ class TestWarmStart:
         s.clear_initial_point()
         out2 = s.solve(max_wall_time=120.0)
         assert out2.status == Status.SOLVE_SUCCEEDED
+
+
+class TestMixedPrecisionRescue:
+    """Dense mixed precision chains a full-precision endgame on failure.
+
+    The transportation LP has a rank-deficient equality block (supplies sum
+    = demands sum), where the f32 condensed Schur complement stalls around
+    1e-5 primal feasibility while f64 reaches 1e-8 (measured; the sparse
+    paths hit the same wall, BENCH_NOTES).  The rescue must recover full
+    tolerance without giving up the pure-f32 fast path on well-conditioned
+    problems."""
+
+    def test_rank_deficient_transport_rescued(self):
+        from madqp_tpu.models.suite import transport_lp
+
+        qp = transport_lp(12, 15, seed=0)
+        qp_p, _, ok = mq.presolve_qp(qp)
+        assert ok
+        qp_s, _ = mq.scale_qp(qp_p)
+        st = mq.solve(qp_s, tol=1e-8, max_ncorr=2,
+                      factorization_dtype="float32", max_refine_steps=1,
+                      **QUIET)
+        assert st.status == Status.SOLVE_SUCCEEDED
+        ref = mq.solve(qp_s, tol=1e-8, max_ncorr=2, **QUIET)
+        assert st.objective == pytest.approx(ref.objective, rel=1e-8)
+        # verbose (host-stepped) loop must rescue identically
+        st_v = mq.solve(qp_s, tol=1e-8, max_ncorr=2, print_level=25,
+                        factorization_dtype="float32", max_refine_steps=1)
+        assert st_v.status == Status.SOLVE_SUCCEEDED
+
+    def test_well_conditioned_stays_single_phase(self):
+        qp = mq.random_qp(60, 24, seed=0, ineq=True)
+        st32 = mq.solve(qp, tol=1e-8, factorization_dtype="float32",
+                        max_refine_steps=1, **QUIET)
+        st64 = mq.solve(qp, tol=1e-8, **QUIET)
+        assert st32.status == Status.SOLVE_SUCCEEDED
+        # f32+IR reproduces the f64 iterate path (BENCH_NOTES) — if the
+        # rescue phase had kicked in, the combined count would exceed it.
+        assert st32.iter <= st64.iter + 1
