@@ -63,12 +63,14 @@ def run_instance(name, qp, options):
             # augmented LDL for QPs (solver/sparse_{lp,qp}.py)
             solve_opts.pop("pad_mode", None)
             solve_opts.pop("kkt_system", None)
-            if qp_s.is_lp:
+            skkt = solve_opts.pop("sparse_kkt", "auto")
+            if qp_s.is_lp and skkt == "auto":
                 stats = mq.solve_sparse_lp(qp_s, **solve_opts)
             else:
                 # auto: diagonal-Hessian QPs ride the smaller SPD
-                # normal-equations reduction; general H -> augmented LDL
-                stats = mq.solve_sparse_qp(qp_s, kkt_system="auto",
+                # normal-equations reduction; general H -> augmented LDL;
+                # condensed = K1 slack/dual elimination (SPD n0 x n0)
+                stats = mq.solve_sparse_qp(qp_s, kkt_system=skkt,
                                            **solve_opts)
         else:
             stats = mq.solve(qp_s, **solve_opts)
@@ -131,6 +133,9 @@ def main():
                     help="device = jitted dense TPU path; host = sparse "
                          "native-LDL CPU path; sparse-device = on-device "
                          "supernodal sparse path (large instances)")
+    ap.add_argument("--sparse-kkt", default="auto",
+                    choices=["auto", "augmented", "normal", "condensed"],
+                    help="KKT formulation for --backend=sparse-device")
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 factorization + f64 refinement (device path)")
     ap.add_argument("--measure-ls", action="store_true",
@@ -157,6 +162,8 @@ def main():
         regularization=mq.FixedRegularization(1e-8, -1e-8),
         backend=args.backend,
     )
+    if args.backend == "sparse-device":
+        options["sparse_kkt"] = args.sparse_kkt
     if args.backend == "device":
         # Bucketed padding: ragged suites share compiled executables.
         options["pad_mode"] = "bucket"

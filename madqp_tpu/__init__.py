@@ -75,6 +75,7 @@ from .solver import (  # noqa: E402
     solve_host,
     solve_sparse_lp,
     solve_sparse_qp,
+    solve_sparse_condensed,
 )
 
 __version__ = "0.1.0"
@@ -116,6 +117,7 @@ __all__ = [
     "solve_host",
     "solve_sparse_lp",
     "solve_sparse_qp",
+    "solve_sparse_condensed",
     "banded_sparse_lp",
     "separable_qp",
     "grid_lp",

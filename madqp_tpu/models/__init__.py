@@ -8,7 +8,7 @@ from .qp import (
     from_coo,
 )
 from .generators import (dense_dummy_qp, simple_lp, random_lp, random_qp,
-                         banded_sparse_lp, separable_qp, grid_lp, grid3d_lp,
+                         banded_sparse_lp, separable_qp, ineq_qp, grid_lp, grid3d_lp,
                          netflow_grid_lp)
 from .scaling import scale_qp, ruiz_scaling_factors, unscale_stats, RuizScaling
 from .presolve import presolve_qp, PresolveInfo, PresolveStatus
@@ -27,6 +27,7 @@ __all__ = [
     "random_qp",
     "banded_sparse_lp",
     "separable_qp",
+    "ineq_qp",
     "grid_lp",
     "grid3d_lp",
     "netflow_grid_lp",

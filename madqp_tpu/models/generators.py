@@ -181,6 +181,47 @@ def separable_qp(n: int = 20000, m: int = 10000, band: int = 5,
     )
 
 
+def ineq_qp(n: int = 5000, m_factor: int = 2, band: int = 4,
+            seed: int = 0) -> QuadraticProblem:
+    """Inequality-dominated banded QP: m = m_factor·n sparse range rows,
+    tridiagonal SPD Hessian, box bounds; feasible by construction.
+
+    The home regime of the condensed (K1) KKT (solver/sparse_condensed.py):
+    with every row a slacked range, K2 is (n+2m)², the normal equations
+    don't apply (non-diagonal H), but the condensed system stays n×n with
+    a banded H + AᵀA pattern.
+    """
+    rng = np.random.default_rng(seed)
+    m = m_factor * n
+    # Each row touches `band` consecutive columns at a random offset:
+    # AᵀA stays banded (width ~band), so the condensed pattern is sparse.
+    starts = rng.integers(0, n - band, size=m)
+    rows = np.repeat(np.arange(m), band)
+    cols = (starts[:, None] + np.arange(band)[None, :]).ravel()
+    vals = rng.uniform(-1.0, 1.0, size=m * band)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    # Tridiagonal SPD Hessian.
+    h0 = rng.uniform(1.0, 4.0, n)
+    h1 = rng.uniform(-0.5, 0.5, n - 1)
+    H = sp.diags([h1, h0, h1], [-1, 0, 1]).tocsr()
+    x_feas = rng.uniform(-1.0, 1.0, n)
+    Ax = np.asarray(A @ x_feas).ravel()
+    half = rng.uniform(0.2, 1.0, m)
+    return QuadraticProblem(
+        c0=0.0,
+        c=rng.uniform(-1.0, 1.0, n),
+        H=H,
+        A=A,
+        lcon=Ax - half,
+        ucon=Ax + half,
+        lvar=np.full(n, -2.0),
+        uvar=np.full(n, 2.0),
+        x0=np.zeros(n),
+        y0=np.zeros(m),
+        name=f"ineq_qp_{n}_{m}",
+    )
+
+
 def grid_lp(g: int = 100, seed: int = 0) -> QuadraticProblem:
     """LP whose equality constraints couple variables on a g x g 2D grid:
     [L | I] x = b with L the 5-point Laplacian stencil (+4 diagonal), one

@@ -279,15 +279,20 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
 
     kkt_system: "augmented" (default) — K2 supernodal signed LDLᵀ (any
     QP); "normal" — normal equations (LP / diagonal-Hessian QP only;
-    m×m SPD Cholesky, smaller and pivot-free); "auto" — normal when the
-    Hessian is absent or diagonal, augmented otherwise.  Returns
-    ExecutionStats like mq.solve."""
+    m×m SPD Cholesky, smaller and pivot-free); "condensed" — K1 slack/dual
+    elimination (SPD n0×n0, general Hessian, equality rows relaxed);
+    "auto" — normal when the Hessian is absent or diagonal, augmented
+    otherwise.  Returns ExecutionStats like mq.solve."""
     from ..solver.mpc import MPCKernel
     from ..utils import load_options
 
-    if kkt_system not in ("auto", "augmented", "normal"):
-        raise ValueError(
-            f"kkt_system={kkt_system!r}: expected auto|augmented|normal")
+    if kkt_system not in ("auto", "augmented", "normal", "condensed"):
+        raise ValueError(f"kkt_system={kkt_system!r}: "
+                         "expected auto|augmented|normal|condensed")
+    if kkt_system == "condensed":
+        from .sparse_condensed import solve_sparse_condensed
+
+        return solve_sparse_condensed(qp, order=order, **options)
     if kkt_system != "augmented":
         Hd = qp.H
         diag_h = Hd is None or (
