@@ -59,6 +59,7 @@ from .models import (  # noqa: E402
     random_qp,
     banded_sparse_lp,
     separable_qp,
+    ineq_qp,
     grid_lp,
     grid3d_lp,
     netflow_grid_lp,
@@ -120,6 +121,7 @@ __all__ = [
     "solve_sparse_condensed",
     "banded_sparse_lp",
     "separable_qp",
+    "ineq_qp",
     "grid_lp",
     "grid3d_lp",
     "netflow_grid_lp",

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import dataclasses
 
+from typing import Optional
+
 import numpy as np
 import scipy.sparse as sp
 
@@ -182,7 +184,8 @@ def separable_qp(n: int = 20000, m: int = 10000, band: int = 5,
 
 
 def ineq_qp(n: int = 5000, m_factor: int = 2, band: int = 4,
-            seed: int = 0) -> QuadraticProblem:
+            seed: int = 0,
+            pattern_seed: Optional[int] = None) -> QuadraticProblem:
     """Inequality-dominated banded QP: m = m_factor·n sparse range rows,
     tridiagonal SPD Hessian, box bounds; feasible by construction.
 
@@ -190,12 +193,18 @@ def ineq_qp(n: int = 5000, m_factor: int = 2, band: int = 4,
     with every row a slacked range, K2 is (n+2m)², the normal equations
     don't apply (non-diagonal H), but the condensed system stays n×n with
     a banded H + AᵀA pattern.
+
+    pattern_seed (default: seed) fixes the sparsity structure separately
+    from the values, so same-pattern instances ride the pattern-keyed
+    kernel cache (no symbolic re-analysis / retrace).
     """
+    prng = np.random.default_rng(seed if pattern_seed is None
+                                 else pattern_seed)
     rng = np.random.default_rng(seed)
     m = m_factor * n
     # Each row touches `band` consecutive columns at a random offset:
     # AᵀA stays banded (width ~band), so the condensed pattern is sparse.
-    starts = rng.integers(0, n - band, size=m)
+    starts = prng.integers(0, n - band, size=m)
     rows = np.repeat(np.arange(m), band)
     cols = (starts[:, None] + np.arange(band)[None, :]).ravel()
     vals = rng.uniform(-1.0, 1.0, size=m * band)
