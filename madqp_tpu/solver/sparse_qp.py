@@ -273,6 +273,40 @@ def finish_stats(qp: QuadraticProblem, info, opts, final, wall,
     )
 
 
+def _condensed_auto_ok(qp: QuadraticProblem, fill_cap: float = 4.0) -> bool:
+    """Auto-routing guard for the condensed (K1) path.
+
+    Measured on inequality-dominated QPs (BENCH_NOTES: ineq_qp n=2k,
+    m=4k), the n0×n0 SPD condensed factorization beats the (n0+2m)-dim
+    quasi-definite K2 by 1.35x end-to-end and halves compile time.  Route
+    "auto" there only when it is *safe and structurally favorable*:
+
+    - no equality rows (the condensed driver relaxes them by ~tol, which
+      perturbs solutions — only take the path when relaxation is a no-op);
+    - every row has a finite bound (a fully free row has no barrier on its
+      slack, Σs = 0, and the D = (Σs⁻¹ − δ_c)⁻¹ elimination degenerates);
+    - the H + AᵀA pattern cannot blow up vs K2's: Σ_k nnz(A[k,:])² (an
+      upper bound on nnz(AᵀA), tight for banded rows, huge for dense
+      rows) must stay within fill_cap× the K2 triangle nnz.
+    """
+    m = qp.A.shape[0]
+    if m == 0:
+        return False
+    lcon = np.asarray(qp.lcon)
+    ucon = np.asarray(qp.ucon)
+    lf, uf = np.isfinite(lcon), np.isfinite(ucon)
+    if np.any(lf & uf & (lcon == ucon)):
+        return False
+    if np.any(~lf & ~uf):
+        return False
+    A = qp.A.tocsr()
+    row_nnz = np.diff(A.indptr)
+    ata_bound = float(np.square(row_nnz, dtype=np.float64).sum())
+    nnz_h = qp.H.nnz if qp.H is not None else 0
+    k2_nnz = float(nnz_h + A.nnz + A.shape[1] + 2 * m)
+    return ata_bound + nnz_h <= fill_cap * k2_nnz
+
+
 def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
                     kkt_system: str = "augmented", **options):
     """Solve a (large sparse) LP or QP fully on device.
@@ -281,8 +315,10 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
     QP); "normal" — normal equations (LP / diagonal-Hessian QP only;
     m×m SPD Cholesky, smaller and pivot-free); "condensed" — K1 slack/dual
     elimination (SPD n0×n0, general Hessian, equality rows relaxed);
-    "auto" — normal when the Hessian is absent or diagonal, augmented
-    otherwise.  Returns ExecutionStats like mq.solve."""
+    "auto" — normal when the Hessian is absent or diagonal, condensed for
+    inequality-dominated non-diagonal-H QPs (no equality rows, bounded
+    AᵀA fill — see _condensed_auto_ok), augmented otherwise.  Returns
+    ExecutionStats like mq.solve."""
     from ..solver.mpc import MPCKernel
     from ..utils import load_options
 
@@ -304,6 +340,10 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
             from .sparse_lp import solve_sparse_lp
 
             return solve_sparse_lp(qp, order=order, **options)
+        if kkt_system == "auto" and _condensed_auto_ok(qp):
+            from .sparse_condensed import solve_sparse_condensed
+
+            return solve_sparse_condensed(qp, order=order, **options)
 
     from .sparse_common import (canonical_coo_vals, get_sparse_kernel,
                                 pattern_fingerprint)

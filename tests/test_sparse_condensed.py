@@ -130,3 +130,23 @@ def test_condensed_f32_two_phase():
     ref = mq.solve(qp, tol=1e-8, print_level=0)
     assert out.status.name == "SOLVE_SUCCEEDED"
     assert out.objective == pytest.approx(ref.objective, abs=1e-5, rel=1e-5)
+
+
+def test_auto_routes_ineq_dominated_to_condensed():
+    """auto must pick K1 for inequality-dominated non-diagonal-H QPs
+    (no equality rows, banded A) and keep K2 when equalities exist."""
+    from madqp_tpu.models.generators import ineq_qp
+    from madqp_tpu.solver.sparse_qp import _condensed_auto_ok
+
+    qp = ineq_qp(n=120, m_factor=2, band=4, seed=3)
+    assert _condensed_auto_ok(qp)
+    out = mq.solve_sparse_qp(qp, kkt_system="auto", tol=1e-8, print_level=0)
+    ref = mq.solve_sparse_qp(qp, kkt_system="condensed", tol=1e-8,
+                             print_level=0)
+    assert out.status.name == "SOLVE_SUCCEEDED"
+    assert out.iter == ref.iter
+    assert out.objective == pytest.approx(ref.objective, rel=1e-9, abs=1e-9)
+
+    # equality-constrained QP: relaxation is not a no-op -> stays on K2
+    qp_eq = random_qp(n=40, m=20, seed=5)
+    assert not _condensed_auto_ok(qp_eq)
