@@ -33,6 +33,8 @@ _STATUS_MAP = {
     S.SUCCESS: Status.SOLVE_SUCCEEDED,
     S.MAX_ITER: Status.MAXIMUM_ITERATIONS_EXCEEDED,
     S.STEP_ERROR: Status.ERROR_IN_STEP_COMPUTATION,
+    S.DIVERGED: Status.DIVERGING_ITERATES,
+    S.STALLED: Status.SOLVED_TO_ACCEPTABLE_LEVEL,
     S.RUNNING: Status.REGULAR,
 }
 

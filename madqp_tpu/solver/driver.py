@@ -27,13 +27,14 @@ from ..utils import (
 from ..utils.logger import INFO
 from ..utils.options import IPMOptions, KKTSystem
 from . import state as S
+from .certificates import farkas_certificate, unbounded_certificate
 from .mpc import MPCKernel
 
 _STATUS_MAP = {
     S.SUCCESS: Status.SOLVE_SUCCEEDED,
     S.MAX_ITER: Status.MAXIMUM_ITERATIONS_EXCEEDED,
     S.STEP_ERROR: Status.ERROR_IN_STEP_COMPUTATION,
-    S.DIVERGED: Status.INFEASIBLE_PROBLEM_DETECTED,
+    S.DIVERGED: Status.DIVERGING_ITERATES,
     S.STALLED: Status.SOLVED_TO_ACCEPTABLE_LEVEL,
     S.RUNNING: Status.REGULAR,
 }
@@ -411,14 +412,18 @@ class MPCSolver:
                 status = _STATUS_MAP.get(int(final.status), Status.INTERNAL_ERROR)
                 if status in (Status.MAXIMUM_ITERATIONS_EXCEEDED,
                               Status.ERROR_IN_STEP_COMPUTATION,
-                              Status.INFEASIBLE_PROBLEM_DETECTED):
+                              Status.DIVERGING_ITERATES):
                     # Non-convergence with diverging duals is how an IPM
-                    # manifests an empty feasible set; upgrade to a
-                    # *certified* infeasibility status when the final dual
-                    # direction is a Farkas certificate.  (The reference
-                    # has no infeasibility status at all — SURVEY §4.)
-                    if self._farkas_certificate(final):
+                    # manifests an empty feasible set, and diverging
+                    # primals an unbounded objective; upgrade to a
+                    # *certified* status when the terminal direction is a
+                    # Farkas certificate / descent ray.  (The reference
+                    # has no infeasible/unbounded statuses — SURVEY §4.)
+                    if farkas_certificate(self.std, np.asarray(final.y)):
                         status = Status.INFEASIBLE_PROBLEM_DETECTED
+                    elif unbounded_certificate(self.std,
+                                               np.asarray(final.x)):
+                        status = Status.UNBOUNDED_PROBLEM_DETECTED
         except MadQPError as e:
             status = e.status
             if self.opts.rethrow_error:
@@ -433,45 +438,6 @@ class MPCSolver:
             except Exception:
                 pass  # measurement is best-effort; never fail the solve
         return self._build_stats(final, status)
-
-    def _farkas_certificate(self, final, rtol=1e-6, vtol=1e-9) -> bool:
-        """Certified primal infeasibility from the final dual direction.
-
-        For the internal standard form {Ax = b, lb <= x <= ub (masked)},
-        the feasible set is empty iff some y has
-            sup_{lb <= x <= ub} (A'y)'x  <  b'y        (Farkas lemma).
-        The sup separates per coordinate: v_i ub_i for v_i > 0 (+inf if
-        unbounded above), v_i lb_i for v_i < 0 (+inf if unbounded below).
-        Diverging multipliers approach such a ray directionally, so the
-        check normalizes y to unit infinity norm and allows |v_i| <= vtol
-        as zero (certified up to tolerance — "local infeasibility" in the
-        status taxonomy).  Pure host-side numpy on self.std: runs once at
-        exit, never in the hot loop.
-        """
-        try:
-            std = self.std
-            y = np.asarray(final.y, dtype=np.float64)
-            y = np.where(np.isfinite(y), y, 0.0)
-            ny = float(np.max(np.abs(y))) if y.size else 0.0
-            if ny == 0.0:
-                return False
-            y = y / ny
-            thresh = rtol * max(1.0, float(np.max(np.abs(std.b))))
-
-            def certifies(yd):
-                v = np.asarray(std.A.T @ yd).ravel()
-                v = np.where(np.abs(v) <= vtol, 0.0, v)
-                pos, neg = v > 0.0, v < 0.0
-                if np.any(pos & ~std.has_ub) or np.any(neg & ~std.has_lb):
-                    return False  # sup is +inf via an unbounded coordinate
-                sup = float(np.sum(v[pos] * std.ub[pos])
-                            + np.sum(v[neg] * std.lb[neg]))
-                return float(std.b @ yd) - sup > thresh
-
-            # the diverging iterate approaches the ray up to sign convention
-            return certifies(y) or certifies(-y)
-        except Exception:  # pragma: no cover — certificate is best-effort
-            return False
 
     def _measure_linear_solver(self, final) -> float:
         """Estimate cumulative factorize+backsolve time (the reference's

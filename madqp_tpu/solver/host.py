@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..models.qp import QuadraticProblem, SparseStandardQP, build_standard_form_sparse
 from ..native import SparseLDL
+from .certificates import farkas_certificate, unbounded_certificate
 from ..ops import kernels as K
 from ..ops.kkt import kkt_mul
 from ..utils import (
@@ -390,12 +391,12 @@ class HostMPCSolver:
             )
             if (inf_du <= opts.tol and inf_compl <= opts.tol
                     and inf_pr > stuck and dual_mag > opts.diverge_tol):
-                status = Status.INFEASIBLE_PROBLEM_DETECTED
+                status = Status.DIVERGING_ITERATES
                 break
             if (inf_pr <= opts.tol and inf_compl <= opts.tol
                     and inf_du > stuck
                     and float(K._inf_norm(x)) > opts.diverge_tol):
-                status = Status.INFEASIBLE_PROBLEM_DETECTED
+                status = Status.DIVERGING_ITERATES
                 break
             if k >= opts.max_iter:
                 status = Status.MAXIMUM_ITERATIONS_EXCEEDED
@@ -499,6 +500,14 @@ class HostMPCSolver:
             cnt.k = k
 
         cnt.total_time = time.time() - cnt.start_time
+        if status in (Status.MAXIMUM_ITERATIONS_EXCEEDED,
+                      Status.ERROR_IN_STEP_COMPUTATION,
+                      Status.DIVERGING_ITERATES):
+            # Exit-time certification, same as the device driver.
+            if farkas_certificate(self.std, np.asarray(y)):
+                status = Status.INFEASIBLE_PROBLEM_DETECTED
+            elif unbounded_certificate(self.std, np.asarray(x)):
+                status = Status.UNBOUNDED_PROBLEM_DETECTED
         log.notice(f"EXIT: {get_status_output(status)}")
 
         info = self.info

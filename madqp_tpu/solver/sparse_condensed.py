@@ -353,4 +353,5 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
                                     final.zl, final.zu, lb, ub)
             )
     wall = time.time() - t0
-    return finish_stats(qp, info, opts, final, wall, extra_iters=extra)
+    return finish_stats(qp, info, opts, final, wall, extra_iters=extra,
+                        std=std)

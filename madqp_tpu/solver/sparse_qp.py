@@ -237,15 +237,27 @@ class DeviceSparseAugmentedKKT:
 
 
 def finish_stats(qp: QuadraticProblem, info, opts, final, wall,
-                 extra_iters: int = 0):
+                 extra_iters: int = 0, std=None):
     """Map the internal terminal IPM state back to user coordinates and
     package ExecutionStats (shared by the sparse device drivers).
     extra_iters: iterations spent in an earlier phase (two-phase mixed
-    precision) to include in the reported count."""
+    precision) to include in the reported count.  std: the internal
+    standard form — when given, non-convergent exits are upgraded to
+    certified infeasible/unbounded statuses (same as the dense driver)."""
+    from ..solver.certificates import farkas_certificate, unbounded_certificate
     from ..solver.driver import _STATUS_MAP
     from ..utils import Counters, ExecutionStats, Status
 
     status = _STATUS_MAP.get(int(final.status), Status.INTERNAL_ERROR)
+    if std is not None and status in (Status.MAXIMUM_ITERATIONS_EXCEEDED,
+                                      Status.ERROR_IN_STEP_COMPUTATION,
+                                      Status.DIVERGING_ITERATES):
+        if farkas_certificate(std, np.asarray(final.y,
+                                               np.float64)[: info.m]):
+            status = Status.INFEASIBLE_PROBLEM_DETECTED
+        elif unbounded_certificate(std, np.asarray(final.x,
+                                                   np.float64)[: info.n]):
+            status = Status.UNBOUNDED_PROBLEM_DETECTED
     x_user = info.recover_x(np.asarray(final.x, np.float64)[: info.n])
     y_user = info.recover_y(np.asarray(final.y, np.float64)[: info.m])
     g_user = qp.grad(x_user)
@@ -420,4 +432,5 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
                                     final.zl, final.zu, lb, ub)
             )
     wall = time.time() - t0
-    return finish_stats(qp, info, opts, final, wall, extra_iters=extra)
+    return finish_stats(qp, info, opts, final, wall, extra_iters=extra,
+                        std=std)

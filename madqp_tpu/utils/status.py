@@ -34,6 +34,8 @@ class Status(enum.IntEnum):
     INVALID_NUMBER_CONSTRAINTS = 13
     INVALID_NUMBER_JACOBIAN = 14
     INVALID_NUMBER_HESSIAN_LAGRANGIAN = 15
+    DIVERGING_ITERATES = 16
+    UNBOUNDED_PROBLEM_DETECTED = 17
     # Internal (non-terminal) states.
     INITIAL = 100
     REGULAR = 101
@@ -55,6 +57,8 @@ STATUS_OUTPUT = {
     Status.INVALID_NUMBER_CONSTRAINTS: "Invalid number in NLP constraint function detected.",
     Status.INVALID_NUMBER_JACOBIAN: "Invalid number in NLP constraint Jacobian detected.",
     Status.INVALID_NUMBER_HESSIAN_LAGRANGIAN: "Invalid number in NLP Hessian Lagrangian detected.",
+    Status.DIVERGING_ITERATES: "Iterates diverging; problem might be unbounded or infeasible (no certificate).",
+    Status.UNBOUNDED_PROBLEM_DETECTED: "Problem unbounded below (certified descent ray).",
     Status.INITIAL: "Initial.",
     Status.REGULAR: "Running.",
 }

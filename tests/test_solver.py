@@ -261,7 +261,52 @@ class TestInfeasibilityDetection:
             ucon=np.zeros(0), lvar=np.zeros(1), uvar=np.array([np.inf]),
         )
         s = mq.solve(qp, max_iter=300, **QUIET)
-        assert s.status == Status.INFEASIBLE_PROBLEM_DETECTED
+        assert s.status == Status.UNBOUNDED_PROBLEM_DETECTED
+
+    def test_unbounded_lp_with_constraint(self):
+        # min -x1-x2 s.t. x1-x2 = 0, x >= 0: unbounded along (1,1)
+        qp = mq.QuadraticProblem(
+            c=np.array([-1.0, -1.0]),
+            A=np.array([[1.0, -1.0]]),
+            lcon=np.zeros(1), ucon=np.zeros(1),
+            lvar=np.zeros(2), uvar=np.full(2, np.inf),
+        )
+        s = mq.solve(qp, max_iter=300, **QUIET)
+        assert s.status == Status.UNBOUNDED_PROBLEM_DETECTED
+
+    def test_unbounded_qp_singular_hessian(self):
+        # H singular along e2; objective -x2 unbounded along null(H)
+        qp = mq.QuadraticProblem(
+            c=np.array([0.0, -1.0]),
+            A=np.zeros((0, 2)), lcon=np.zeros(0), ucon=np.zeros(0),
+            lvar=np.array([0.0, 0.0]), uvar=np.full(2, np.inf),
+            H=np.array([[1.0, 0.0], [0.0, 0.0]]),
+        )
+        s = mq.solve(qp, max_iter=300, **QUIET)
+        assert s.status == Status.UNBOUNDED_PROBLEM_DETECTED
+
+    def test_bounded_qp_not_flagged_unbounded(self):
+        # same H but the descent direction is curved: bounded, solvable
+        qp = mq.QuadraticProblem(
+            c=np.array([-1.0, 0.0]),
+            A=np.zeros((0, 2)), lcon=np.zeros(0), ucon=np.zeros(0),
+            lvar=np.array([0.0, 0.0]), uvar=np.full(2, np.inf),
+            H=np.array([[1.0, 0.0], [0.0, 1.0]]),
+        )
+        s = mq.solve(qp, max_iter=300, **QUIET)
+        assert s.status == Status.SOLVE_SUCCEEDED
+
+    def test_host_path_detects_unbounded(self):
+        from madqp_tpu.solver.host import solve_host
+
+        qp = mq.QuadraticProblem(
+            c=np.array([-1.0, -1.0]),
+            A=np.array([[1.0, -1.0]]),
+            lcon=np.zeros(1), ucon=np.zeros(1),
+            lvar=np.zeros(2), uvar=np.full(2, np.inf),
+        )
+        s = solve_host(qp, max_iter=300, **QUIET)
+        assert s.status == Status.UNBOUNDED_PROBLEM_DETECTED
 
     def test_host_path_detects_infeasible(self):
         from madqp_tpu.solver.host import solve_host

@@ -95,3 +95,28 @@ def test_mesh_families_solve_to_optimality(make, arg):
     # cross-check the objective against the dense reference solver
     ref = mq.solve(qp, tol=1e-8, print_level=40)
     assert st.objective == pytest.approx(ref.objective, rel=1e-7)
+
+
+class TestSparseCertificates:
+    """Exit-time infeasible/unbounded certification on the sparse device
+    drivers (shared finish_stats upgrade path)."""
+
+    def test_sparse_infeasible_lp(self):
+        qp = mq.QuadraticProblem(
+            c=np.ones(2),
+            A=sp.csr_matrix(np.array([[1.0, 1.0], [1.0, 1.0]])),
+            lcon=np.array([1.0, 2.0]), ucon=np.array([1.0, 2.0]),
+            lvar=np.zeros(2), uvar=np.full(2, np.inf),
+        )
+        st = solve_sparse_lp(qp, max_iter=300, print_level=0)
+        assert st.status == mq.Status.INFEASIBLE_PROBLEM_DETECTED
+
+    def test_sparse_unbounded_lp(self):
+        qp = mq.QuadraticProblem(
+            c=np.array([-1.0, -1.0]),
+            A=sp.csr_matrix(np.array([[1.0, -1.0]])),
+            lcon=np.zeros(1), ucon=np.zeros(1),
+            lvar=np.zeros(2), uvar=np.full(2, np.inf),
+        )
+        st = solve_sparse_lp(qp, max_iter=300, print_level=0)
+        assert st.status == mq.Status.UNBOUNDED_PROBLEM_DETECTED
