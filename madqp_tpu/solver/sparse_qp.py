@@ -334,6 +334,9 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
     from ..solver.mpc import MPCKernel
     from ..utils import load_options
 
+    # dense-path spellings (K2.5 scaling is built into the sparse KKTs)
+    kkt_system = {"k2": "augmented", "k2.5": "augmented",
+                  "scaled": "augmented"}.get(kkt_system, kkt_system)
     if kkt_system not in ("auto", "augmented", "normal", "condensed"):
         raise ValueError(f"kkt_system={kkt_system!r}: "
                          "expected auto|augmented|normal|condensed")

@@ -223,6 +223,12 @@ def load_options(**kwargs) -> Tuple[IPMOptions, dict]:
     fields = {f.name for f in dataclasses.fields(IPMOptions)}
     known = {k: v for k, v in kwargs.items() if k in fields}
     ignored = {k: v for k, v in kwargs.items() if k not in fields}
+    # Accept the sparse-path spellings on the dense path too, so one
+    # kkt_system vocabulary works everywhere ("augmented" == K2,
+    # "scaled" == K2.5).
+    aliases = {"augmented": KKTSystem.K2, "scaled": KKTSystem.K2_5}
+    if known.get("kkt_system") in aliases:
+        known["kkt_system"] = aliases[known["kkt_system"]]
     # print_level=0 is NOTSET = "logging disabled", not "print everything"
     # (thresholds are higher-is-quieter; see the field comment).
     for key in ("print_level", "file_print_level"):
