@@ -325,6 +325,41 @@ def presolve_qp(
             Asub = sub(A_rows).tocsr()
             row_nnz = np.diff(Asub.indptr)
 
+        # ---- row activity bounds: proven infeasible / redundant rows ------
+        # L_i = sum_j min(a_ij l_j, a_ij u_j) and U_i = max-side: the range
+        # of a_i'x over the variable box.  L > ucon or U < lcon proves
+        # infeasibility; [L, U] inside [lcon, ucon] proves the row implied
+        # by the bounds — dropping it is dual-exact with y_i = 0 (the
+        # postsolve default for dropped rows).
+        if row_nnz.sum() > 0:
+            lv, uv = lvar[live_c], uvar[live_c]
+            dat, idx = Asub.data, Asub.indices
+            lo_t = np.where(dat > 0, dat * lv[idx], dat * uv[idx])
+            hi_t = np.where(dat > 0, dat * uv[idx], dat * lv[idx])
+            zero = dat == 0.0
+            lo_t[zero] = 0.0  # guard 0 * inf
+            hi_t[zero] = 0.0
+            rows_exp = np.repeat(np.arange(live_r.size), row_nnz)
+            Lmin = np.bincount(rows_exp, weights=lo_t,
+                               minlength=live_r.size)
+            Umax = np.bincount(rows_exp, weights=hi_t,
+                               minlength=live_r.size)
+            lc, uc = lcon[live_r], ucon[live_r]
+            ttol_u = np.maximum(tol, tol * np.abs(uc))
+            ttol_l = np.maximum(tol, tol * np.abs(lc))
+            if np.any(np.isfinite(uc) & (Lmin > uc + ttol_u)) or np.any(
+                    np.isfinite(lc) & (Umax < lc - ttol_l)):
+                return _fail(qp, PresolveStatus.INFEASIBLE)
+            redundant = ((~np.isfinite(lc) | (Lmin >= lc))
+                         & (~np.isfinite(uc) | (Umax <= uc))
+                         & (row_nnz > 0))
+            if redundant.any():
+                alive_row[live_r[redundant]] = False
+                changed = True
+                live_r = np.where(alive_row)[0]
+                Asub = sub(A_rows).tocsr()
+                row_nnz = np.diff(Asub.indptr)
+
         # ---- singleton rows -----------------------------------------------
         singles = np.where(row_nnz == 1)[0]
         to_fix_cols: List[int] = []

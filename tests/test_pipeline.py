@@ -388,3 +388,40 @@ class TestMPSRoundTrip:
         assert b.status == mq.Status.SOLVE_SUCCEEDED
         assert b.objective == pytest.approx(a.objective, abs=1e-6)
         np.testing.assert_allclose(b.solution, a.solution, atol=1e-5)
+
+
+class TestActivityPresolve:
+    """Row-activity reductions: bounds-implied rows drop (dual-exact y=0),
+    activity-infeasible rows fail fast."""
+
+    def test_redundant_row_dropped(self):
+        import madqp_tpu as mq
+        # x in [0,1]^2; row x1+x2 <= 5 is implied by the box
+        qp = mq.QuadraticProblem(
+            c=np.array([1.0, 2.0]),
+            A=np.array([[1.0, 1.0], [1.0, -1.0]]),
+            lcon=np.array([-np.inf, 0.0]), ucon=np.array([5.0, 0.0]),
+            lvar=np.zeros(2), uvar=np.ones(2),
+        )
+        red, info, ok = mq.presolve_qp(qp)
+        assert ok and len(info.keep_rows) == 1
+        st = mq.solve(red, print_level=0)
+        full = info.postsolve_stats(st)
+        # exact KKT on the original problem
+        g = qp.c
+        r = g + qp.A.T @ full.multipliers - full.multipliers_L \
+            + full.multipliers_U
+        assert np.max(np.abs(r)) < 1e-7
+        ref = mq.solve(qp, print_level=0)
+        assert full.objective == pytest.approx(ref.objective, abs=1e-8)
+
+    def test_activity_infeasible(self):
+        import madqp_tpu as mq
+        # x in [0,1]^2 but x1+x2 >= 3: impossible
+        qp = mq.QuadraticProblem(
+            c=np.ones(2), A=np.array([[1.0, 1.0]]),
+            lcon=np.array([3.0]), ucon=np.array([np.inf]),
+            lvar=np.zeros(2), uvar=np.ones(2),
+        )
+        red, info, ok = mq.presolve_qp(qp)
+        assert not ok and info.status == PresolveStatus.INFEASIBLE
