@@ -111,6 +111,22 @@ class _FreeColSingleton:
 
 
 @dataclasses.dataclass
+class _MergeDupRow:
+    """Row `drop` == alpha * row `keep` merged into `keep` by intersecting
+    bounds.  lower_from_drop/upper_from_drop say whether the merged bound
+    on that side came (strictly) from the dropped row, so postsolve can
+    transfer the binding multiplier there (y_drop = y_keep / alpha)."""
+
+    drop: int
+    keep: int
+    alpha: float
+    merged_lcon: float
+    merged_ucon: float
+    lower_from_drop: bool
+    upper_from_drop: bool
+
+
+@dataclasses.dataclass
 class PresolveInfo:
     status: PresolveStatus
     keep_rows: np.ndarray
@@ -183,10 +199,28 @@ class PresolveInfo:
             aty = float(np.asarray(A[:, j].T @ y).ravel()[0])
             return float(c[j] + Hx[j] + aty - zl[j] + zu[j])
 
+        Ar = qp.A.tocsr()
+
         # phase 1: local transfers (no residuals needed)
         for op in reversed(self.ops):
             if isinstance(op, _FreeColSingleton):
                 y[op.row] = -op.cj / op.coef
+            elif isinstance(op, _MergeDupRow):
+                yk = y[op.keep]
+                if yk == 0.0 or not (op.lower_from_drop
+                                     or op.upper_from_drop):
+                    continue
+                act = float(np.asarray(Ar[op.keep] @ x).ravel()[0])
+                dl = (abs(act - op.merged_lcon)
+                      if np.isfinite(op.merged_lcon) else np.inf)
+                du = (abs(act - op.merged_ucon)
+                      if np.isfinite(op.merged_ucon) else np.inf)
+                lower_binds = dl <= du
+                if (lower_binds and op.lower_from_drop) or (
+                        not lower_binds and op.upper_from_drop):
+                    # y_drop * (alpha * a_keep'x) == y_keep * a_keep'x
+                    y[op.drop] = yk / op.alpha
+                    y[op.keep] = 0.0
             elif isinstance(op, _DropIneqSingletonRow):
                 j, a = op.col, op.coef
                 # move the bound multiplier onto the row iff the implied
@@ -355,6 +389,74 @@ def presolve_qp(
                          & (row_nnz > 0))
             if redundant.any():
                 alive_row[live_r[redundant]] = False
+                changed = True
+                live_r = np.where(alive_row)[0]
+                Asub = sub(A_rows).tocsr()
+                row_nnz = np.diff(Asub.indptr)
+
+        # ---- duplicate (parallel) rows -------------------------------------
+        # rows i with row_i == alpha * row_keep merge into keep by
+        # intersecting (transformed) bounds; postsolve transfers the
+        # binding multiplier back when the tight side came from a dropped
+        # row (_MergeDupRow).
+        if live_r.size > 1 and row_nnz.size and row_nnz.max() > 0:
+            Asub.sort_indices()
+            groups: dict = {}
+            for rloc in range(live_r.size):
+                s, e = Asub.indptr[rloc], Asub.indptr[rloc + 1]
+                if e == s:
+                    continue
+                vals_r = Asub.data[s:e]
+                pivot = vals_r[np.argmax(np.abs(vals_r))]
+                if abs(pivot) < 1e-14:
+                    continue
+                key = (Asub.indices[s:e].tobytes(),
+                       np.round(vals_r / pivot, 12).tobytes())
+                groups.setdefault(key, []).append(rloc)
+            merged = False
+            for rlocs in groups.values():
+                if len(rlocs) < 2:
+                    continue
+                kloc = rlocs[0]
+                k = live_r[kloc]
+                sk, ek = Asub.indptr[kloc], Asub.indptr[kloc + 1]
+                vk = Asub.data[sk:ek]
+                pk = vk[np.argmax(np.abs(vk))]
+                lo0, hi0 = lcon[k], ucon[k]
+                entries = []
+                for rloc in rlocs[1:]:
+                    i = live_r[rloc]
+                    si, ei = Asub.indptr[rloc], Asub.indptr[rloc + 1]
+                    vi = Asub.data[si:ei]
+                    alpha = vi[np.argmax(np.abs(vi))] / pk
+                    if np.max(np.abs(vi - alpha * vk)) > 1e-12 * np.max(
+                            np.abs(vi)):
+                        continue  # hash collision, not truly parallel
+                    if alpha > 0:
+                        lo_i, hi_i = lcon[i] / alpha, ucon[i] / alpha
+                    else:
+                        lo_i, hi_i = ucon[i] / alpha, lcon[i] / alpha
+                    entries.append((i, float(alpha), lo_i, hi_i))
+                if not entries:
+                    continue
+                lo_fin = max([lo0] + [t[2] for t in entries])
+                hi_fin = min([hi0] + [t[3] for t in entries])
+                if lo_fin > hi_fin + max(tol, tol * abs(hi_fin)):
+                    return _fail(qp, PresolveStatus.INFEASIBLE)
+                for i, alpha, lo_i, hi_i in entries:
+                    ops.append(_MergeDupRow(
+                        i, k, alpha, float(lo_fin), float(hi_fin),
+                        lower_from_drop=bool(np.isfinite(lo_i)
+                                             and lo_i == lo_fin
+                                             and lo_fin > lo0),
+                        upper_from_drop=bool(np.isfinite(hi_i)
+                                             and hi_i == hi_fin
+                                             and hi_fin < hi0),
+                    ))
+                    alive_row[i] = False
+                lcon[k], ucon[k] = lo_fin, hi_fin
+                merged = True
+            if merged:
                 changed = True
                 live_r = np.where(alive_row)[0]
                 Asub = sub(A_rows).tocsr()

@@ -425,3 +425,45 @@ class TestActivityPresolve:
         )
         red, info, ok = mq.presolve_qp(qp)
         assert not ok and info.status == PresolveStatus.INFEASIBLE
+
+
+class TestDuplicateRows:
+    def _qp(self, lcon2, ucon2, scale=2.0):
+        import madqp_tpu as mq
+        # row2 = scale * row1
+        return mq.QuadraticProblem(
+            c=np.array([1.0, -2.0]),
+            A=np.array([[1.0, 1.0], [scale, scale], [1.0, -1.0]]),
+            lcon=np.array([0.0, lcon2, -1.0]),
+            ucon=np.array([1.5, ucon2, 1.0]),
+            lvar=np.zeros(2), uvar=np.full(2, 2.0),
+        )
+
+    @pytest.mark.parametrize("lcon2,ucon2,scale", [
+        (0.0, 2.0, 2.0),     # dropped row tighter on the upper side
+        (-10.0, 30.0, 2.0),  # dropped row looser: pure drop
+        (-2.4, -0.5, -2.0),  # negative scale: sides swap, t in [0.25, 1.2]
+    ])
+    def test_merge_and_exact_dual_postsolve(self, lcon2, ucon2, scale):
+        import madqp_tpu as mq
+        qp = self._qp(lcon2, ucon2, scale)
+        red, info, ok = mq.presolve_qp(qp)
+        assert ok and len(info.keep_rows) == 2
+        st = mq.solve(red, print_level=0)
+        full = info.postsolve_stats(st)
+        ref = mq.solve(qp, print_level=0)
+        assert full.objective == pytest.approx(ref.objective, abs=1e-7)
+        # exact stationarity on the original problem
+        r = qp.c + qp.A.T @ full.multipliers - full.multipliers_L \
+            + full.multipliers_U
+        assert np.max(np.abs(r)) < 1e-7
+        # primal feasibility of every original row
+        ax = qp.A @ full.solution
+        assert np.all(ax >= qp.lcon - 1e-7)
+        assert np.all(ax <= qp.ucon + 1e-7)
+
+    def test_conflicting_duplicates_infeasible(self):
+        import madqp_tpu as mq
+        qp = self._qp(3.5, 10.0, 2.0)  # row1 <= 1.5 but 2*row1 >= 3.5
+        red, info, ok = mq.presolve_qp(qp)
+        assert not ok and info.status == PresolveStatus.INFEASIBLE
