@@ -112,18 +112,17 @@ class _FreeColSingleton:
 
 @dataclasses.dataclass
 class _MergeDupRow:
-    """Row `drop` == alpha * row `keep` merged into `keep` by intersecting
-    bounds.  lower_from_drop/upper_from_drop say whether the merged bound
-    on that side came (strictly) from the dropped row, so postsolve can
-    transfer the binding multiplier there (y_drop = y_keep / alpha)."""
+    """Row `drop` == alpha * row `keep` (in the live submatrix at merge
+    time) merged into `keep` by intersecting transformed bounds.  Postsolve
+    transfers the multiplier to the dropped row (y_drop = y_keep / alpha)
+    iff the dropped row is the binding one, judged by original-space row
+    slacks — the rows agree on every column alive at merge time, so the
+    transfer preserves A'y there, and earlier-eliminated columns absorb
+    any difference through the phase-3 residual."""
 
     drop: int
     keep: int
     alpha: float
-    merged_lcon: float
-    merged_ucon: float
-    lower_from_drop: bool
-    upper_from_drop: bool
 
 
 @dataclasses.dataclass
@@ -205,22 +204,6 @@ class PresolveInfo:
         for op in reversed(self.ops):
             if isinstance(op, _FreeColSingleton):
                 y[op.row] = -op.cj / op.coef
-            elif isinstance(op, _MergeDupRow):
-                yk = y[op.keep]
-                if yk == 0.0 or not (op.lower_from_drop
-                                     or op.upper_from_drop):
-                    continue
-                act = float(np.asarray(Ar[op.keep] @ x).ravel()[0])
-                dl = (abs(act - op.merged_lcon)
-                      if np.isfinite(op.merged_lcon) else np.inf)
-                du = (abs(act - op.merged_ucon)
-                      if np.isfinite(op.merged_ucon) else np.inf)
-                lower_binds = dl <= du
-                if (lower_binds and op.lower_from_drop) or (
-                        not lower_binds and op.upper_from_drop):
-                    # y_drop * (alpha * a_keep'x) == y_keep * a_keep'x
-                    y[op.drop] = yk / op.alpha
-                    y[op.keep] = 0.0
             elif isinstance(op, _DropIneqSingletonRow):
                 j, a = op.col, op.coef
                 # move the bound multiplier onto the row iff the implied
@@ -239,6 +222,31 @@ class PresolveInfo:
             if isinstance(op, _DropEqSingletonRow):
                 zl[op.col] = zu[op.col] = 0.0
                 y[op.row] = -residual(op.col) / op.coef
+
+        # phase 2.5: duplicate-row multiplier transfers — after eq-singleton
+        # recovery so a merged-then-dropped keep row already carries its
+        # dual.  Transfer iff the dropped row is the (strictly) tighter one
+        # at the solution, measured against ORIGINAL bounds.
+        def _row_slack(i: int, act: float) -> float:
+            lo = qp.lcon[i] if np.isfinite(qp.lcon[i]) else -np.inf
+            hi = qp.ucon[i] if np.isfinite(qp.ucon[i]) else np.inf
+            return float(min(act - lo, hi - act))
+
+        for op in reversed(self.ops):
+            if isinstance(op, _MergeDupRow):
+                yk = y[op.keep]
+                if yk == 0.0:
+                    continue
+                act_k = float(np.asarray(Ar[op.keep] @ x).ravel()[0])
+                act_d = float(np.asarray(Ar[op.drop] @ x).ravel()[0])
+                s_k = _row_slack(op.keep, act_k)
+                s_d = _row_slack(op.drop, act_d)
+                tol_s = 1e-12 * max(1.0, abs(act_k), abs(act_d))
+                if s_d < s_k - tol_s:
+                    # rows agree on all columns alive at merge time:
+                    # y_drop * (alpha * a_keep'x) == y_keep * a_keep'x
+                    y[op.drop] = yk / op.alpha
+                    y[op.keep] = 0.0
 
         # phase 3: bound duals of substituted-out columns from the final
         # stationarity residual
@@ -443,16 +451,11 @@ def presolve_qp(
                 hi_fin = min([hi0] + [t[3] for t in entries])
                 if lo_fin > hi_fin + max(tol, tol * abs(hi_fin)):
                     return _fail(qp, PresolveStatus.INFEASIBLE)
+                # ranges inverted within tolerance collapse to a point
+                # (the singleton-row path clamps the same way)
+                lo_fin = min(lo_fin, hi_fin)
                 for i, alpha, lo_i, hi_i in entries:
-                    ops.append(_MergeDupRow(
-                        i, k, alpha, float(lo_fin), float(hi_fin),
-                        lower_from_drop=bool(np.isfinite(lo_i)
-                                             and lo_i == lo_fin
-                                             and lo_fin > lo0),
-                        upper_from_drop=bool(np.isfinite(hi_i)
-                                             and hi_i == hi_fin
-                                             and hi_fin < hi0),
-                    ))
+                    ops.append(_MergeDupRow(i, k, alpha))
                     alive_row[i] = False
                 lcon[k], ucon[k] = lo_fin, hi_fin
                 merged = True

@@ -19,7 +19,28 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["farkas_certificate", "unbounded_certificate"]
+__all__ = ["farkas_certificate", "unbounded_certificate",
+           "certify_exit_status"]
+
+
+def certify_exit_status(std, x, y, status):
+    """Upgrade a non-convergent exit status to a certified one.
+
+    For MAX_ITER / STEP_ERROR / DIVERGING_ITERATES exits, try the Farkas
+    certificate on the terminal duals, then the descent-ray certificate on
+    the terminal primals; other statuses pass through unchanged.  Shared by
+    the dense driver, the host path, and the sparse drivers' finish_stats.
+    """
+    from ..utils.status import Status
+
+    if status in (Status.MAXIMUM_ITERATIONS_EXCEEDED,
+                  Status.ERROR_IN_STEP_COMPUTATION,
+                  Status.DIVERGING_ITERATES):
+        if farkas_certificate(std, y):
+            return Status.INFEASIBLE_PROBLEM_DETECTED
+        if unbounded_certificate(std, x):
+            return Status.UNBOUNDED_PROBLEM_DETECTED
+    return status
 
 
 def _matvec(M, v):

@@ -27,7 +27,7 @@ from ..utils import (
 from ..utils.logger import INFO
 from ..utils.options import IPMOptions, KKTSystem
 from . import state as S
-from .certificates import farkas_certificate, unbounded_certificate
+from .certificates import certify_exit_status
 from .mpc import MPCKernel
 
 _STATUS_MAP = {
@@ -410,20 +410,15 @@ class MPCSolver:
                 status = Status.MAXIMUM_WALLTIME_EXCEEDED
             else:
                 status = _STATUS_MAP.get(int(final.status), Status.INTERNAL_ERROR)
-                if status in (Status.MAXIMUM_ITERATIONS_EXCEEDED,
-                              Status.ERROR_IN_STEP_COMPUTATION,
-                              Status.DIVERGING_ITERATES):
-                    # Non-convergence with diverging duals is how an IPM
-                    # manifests an empty feasible set, and diverging
-                    # primals an unbounded objective; upgrade to a
-                    # *certified* status when the terminal direction is a
-                    # Farkas certificate / descent ray.  (The reference
-                    # has no infeasible/unbounded statuses — SURVEY §4.)
-                    if farkas_certificate(self.std, np.asarray(final.y)):
-                        status = Status.INFEASIBLE_PROBLEM_DETECTED
-                    elif unbounded_certificate(self.std,
-                                               np.asarray(final.x)):
-                        status = Status.UNBOUNDED_PROBLEM_DETECTED
+                # Non-convergence with diverging duals is how an IPM
+                # manifests an empty feasible set, and diverging primals
+                # an unbounded objective; upgrade to a *certified* status
+                # when the terminal direction is a Farkas certificate /
+                # descent ray.  (The reference has no infeasible/unbounded
+                # statuses — SURVEY §4.)
+                status = certify_exit_status(
+                    self.std, np.asarray(final.x), np.asarray(final.y),
+                    status)
         except MadQPError as e:
             status = e.status
             if self.opts.rethrow_error:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..models.qp import QuadraticProblem, SparseStandardQP, build_standard_form_sparse
 from ..native import SparseLDL
-from .certificates import farkas_certificate, unbounded_certificate
+from .certificates import certify_exit_status
 from ..ops import kernels as K
 from ..ops.kkt import kkt_mul
 from ..utils import (
@@ -500,14 +500,9 @@ class HostMPCSolver:
             cnt.k = k
 
         cnt.total_time = time.time() - cnt.start_time
-        if status in (Status.MAXIMUM_ITERATIONS_EXCEEDED,
-                      Status.ERROR_IN_STEP_COMPUTATION,
-                      Status.DIVERGING_ITERATES):
-            # Exit-time certification, same as the device driver.
-            if farkas_certificate(self.std, np.asarray(y)):
-                status = Status.INFEASIBLE_PROBLEM_DETECTED
-            elif unbounded_certificate(self.std, np.asarray(x)):
-                status = Status.UNBOUNDED_PROBLEM_DETECTED
+        # Exit-time certification, same as the device driver.
+        status = certify_exit_status(
+            self.std, np.asarray(x), np.asarray(y), status)
         log.notice(f"EXIT: {get_status_output(status)}")
 
         info = self.info

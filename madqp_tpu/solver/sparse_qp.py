@@ -244,20 +244,15 @@ def finish_stats(qp: QuadraticProblem, info, opts, final, wall,
     precision) to include in the reported count.  std: the internal
     standard form — when given, non-convergent exits are upgraded to
     certified infeasible/unbounded statuses (same as the dense driver)."""
-    from ..solver.certificates import farkas_certificate, unbounded_certificate
+    from ..solver.certificates import certify_exit_status
     from ..solver.driver import _STATUS_MAP
     from ..utils import Counters, ExecutionStats, Status
 
     status = _STATUS_MAP.get(int(final.status), Status.INTERNAL_ERROR)
-    if std is not None and status in (Status.MAXIMUM_ITERATIONS_EXCEEDED,
-                                      Status.ERROR_IN_STEP_COMPUTATION,
-                                      Status.DIVERGING_ITERATES):
-        if farkas_certificate(std, np.asarray(final.y,
-                                               np.float64)[: info.m]):
-            status = Status.INFEASIBLE_PROBLEM_DETECTED
-        elif unbounded_certificate(std, np.asarray(final.x,
-                                                   np.float64)[: info.n]):
-            status = Status.UNBOUNDED_PROBLEM_DETECTED
+    if std is not None:
+        status = certify_exit_status(
+            std, np.asarray(final.x, np.float64)[: info.n],
+            np.asarray(final.y, np.float64)[: info.m], status)
     x_user = info.recover_x(np.asarray(final.x, np.float64)[: info.n])
     y_user = info.recover_y(np.asarray(final.y, np.float64)[: info.m])
     g_user = qp.grad(x_user)

@@ -467,3 +467,80 @@ class TestDuplicateRows:
         qp = self._qp(3.5, 10.0, 2.0)  # row1 <= 1.5 but 2*row1 >= 3.5
         red, info, ok = mq.presolve_qp(qp)
         assert not ok and info.status == PresolveStatus.INFEASIBLE
+
+
+class TestDuplicateRowEdgeCases:
+    """Regressions from review: shifted-space bounds, inverted ranges,
+    merge-then-eq-singleton interplay."""
+
+    def _check_kkt(self, qp, info, st):
+        full = info.postsolve_stats(st)
+        r = qp.c + qp.A.T @ full.multipliers - full.multipliers_L \
+            + full.multipliers_U
+        assert np.max(np.abs(r)) < 1e-7
+        ax = qp.A @ full.solution
+        assert np.all(ax >= qp.lcon - 1e-7)
+        assert np.all(ax <= qp.ucon + 1e-7)
+        # complementarity: positive multiplier -> some row bound active
+        for i, yi in enumerate(full.multipliers):
+            if abs(yi) > 1e-7:
+                slack = min(ax[i] - qp.lcon[i], qp.ucon[i] - ax[i])
+                assert slack < 1e-6, (i, yi, slack)
+        return full
+
+    def test_parallel_only_after_fixed_elimination(self):
+        import madqp_tpu as mq
+        # x3 fixed; rows [1,1,-5] and [2,2,7] become parallel after its
+        # elimination — binding-side detection must use original-space
+        # activities, not shifted bounds.
+        qp = mq.QuadraticProblem(
+            c=np.array([1.0, -2.0, 0.0]),
+            A=np.array([[1.0, 1.0, -5.0], [2.0, 2.0, 7.0]]),
+            lcon=np.array([-5.0, 7.0]), ucon=np.array([-3.5, 9.0]),
+            lvar=np.array([0.0, 0.0, 1.0]),
+            uvar=np.array([2.0, 2.0, 1.0]),
+        )
+        red, info, ok = mq.presolve_qp(qp)
+        assert ok
+        st = mq.solve(red, print_level=0)
+        full = self._check_kkt(qp, info, st)
+        ref = mq.solve(qp, print_level=0)
+        assert full.objective == pytest.approx(ref.objective, abs=1e-7)
+
+    def test_inverted_range_within_tol_clamps(self):
+        import madqp_tpu as mq
+        qp = mq.QuadraticProblem(
+            c=np.array([1.0, 1.0]),
+            A=np.array([[1.0, 1.0], [2.0, 2.0]]),
+            lcon=np.array([0.0, 2.0 + 1e-11]),
+            ucon=np.array([1.0, 4.0]),
+            lvar=np.zeros(2), uvar=np.ones(2),
+        )
+        red, info, ok = mq.presolve_qp(qp)
+        if ok:  # must produce a solvable problem, not lcon > ucon
+            st = mq.solve(red, print_level=0)
+            assert st.status == mq.Status.SOLVE_SUCCEEDED
+        else:
+            assert info.status == PresolveStatus.INFEASIBLE
+
+    def test_merge_then_eq_singleton_keep_row(self):
+        import madqp_tpu as mq
+        # rows [1,1] in [0,1.5] and equality [2,2]=2 merge to equality =1;
+        # x2's fix then makes the keep row an eq singleton.  The recovered
+        # multiplier must land on the equality row, not the slack one.
+        qp = mq.QuadraticProblem(
+            c=np.array([1.0, -2.0]),
+            A=np.array([[1.0, 1.0], [2.0, 2.0]]),
+            lcon=np.array([0.0, 2.0]), ucon=np.array([1.5, 2.0]),
+            lvar=np.array([0.0, 0.3]), uvar=np.array([2.0, 0.3]),
+        )
+        red, info, ok = mq.presolve_qp(qp)
+        assert ok or info.status == PresolveStatus.SOLVED
+        if ok:
+            st = mq.solve(red, print_level=0)
+            full = self._check_kkt(qp, info, st)
+        else:
+            x = info.postsolve_x(np.zeros(len(info.keep_cols)))
+            ax = qp.A @ x
+            assert np.all(ax >= qp.lcon - 1e-9)
+            assert np.all(ax <= qp.ucon + 1e-9)
