@@ -72,6 +72,7 @@ from .diff import qp_layer, qp_layer_general, QPLayerSolution  # noqa: E402
 from .solver import (  # noqa: E402
     MPCSolver,
     solve,
+    autosolve,
     HostMPCSolver,
     solve_host,
     solve_sparse_lp,
@@ -114,6 +115,7 @@ __all__ = [
     "QPLayerSolution",
     "MPCSolver",
     "solve",
+    "autosolve",
     "HostMPCSolver",
     "solve_host",
     "solve_sparse_lp",

@@ -1,6 +1,6 @@
 from .state import IPMState, ProblemArrays, problem_to_device, count_onesided
 from .mpc import MPCKernel
-from .driver import MPCSolver, solve
+from .driver import MPCSolver, autosolve, solve
 from .host import HostMPCSolver, solve_host
 from .sparse_lp import solve_sparse_lp
 from .sparse_qp import solve_sparse_qp
@@ -14,6 +14,7 @@ __all__ = [
     "MPCKernel",
     "MPCSolver",
     "solve",
+    "autosolve",
     "HostMPCSolver",
     "solve_host",
     "solve_sparse_lp",

@@ -666,3 +666,33 @@ def _opts_dict(opts: IPMOptions) -> dict:
 def solve(qp: QuadraticProblem, **kwargs) -> ExecutionStats:
     """One-shot convenience: build an MPCSolver and run it."""
     return MPCSolver(qp, **kwargs).solve()
+
+
+def autosolve(qp: QuadraticProblem, dense_limit: int = 1500,
+              **kwargs) -> ExecutionStats:
+    """Route to the best device path by problem shape.
+
+    - small (internal dim <= dense_limit) or dense data -> the padded
+      dense path (`solve`): at these sizes dense MXU factorization beats
+      sparse bookkeeping (SURVEY §7.1 "two regimes");
+    - large + sparse -> the on-device supernodal sparse paths with
+      `kkt_system="auto"` (LP/diagonal-H -> normal equations,
+      inequality-dominated -> condensed K1, else augmented K2).
+
+    The explicit entry points (`solve`, `solve_sparse_lp`,
+    `solve_sparse_qp`, `solve_sparse_condensed`, `solve_host`) remain for
+    callers who know their structure.
+    """
+    m, n = qp.A.shape
+    # internal dimension after slacking every range/inequality row
+    internal = n + m
+    density = qp.A.nnz / max(1, m * n)
+    nnz_h = qp.H.nnz if qp.H is not None else 0
+    dense_h = qp.H is not None and nnz_h > 0.25 * n * n
+    if internal <= dense_limit or density > 0.25 or dense_h:
+        kwargs.setdefault("pad_mode", "bucket")
+        return solve(qp, **kwargs)
+    from .sparse_qp import solve_sparse_qp
+
+    kwargs.pop("pad_mode", None)
+    return solve_sparse_qp(qp, kkt_system="auto", **kwargs)

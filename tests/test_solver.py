@@ -497,3 +497,15 @@ class TestMixedPrecisionRescue:
         # f32+IR reproduces the f64 iterate path (BENCH_NOTES) — if the
         # rescue phase had kicked in, the combined count would exceed it.
         assert st32.iter <= st64.iter + 1
+
+
+class TestAutosolve:
+    def test_routes_and_solves(self):
+        small = mq.dense_dummy_qp(25, 10, seed=2)
+        s1 = mq.autosolve(small, **QUIET)
+        assert s1.status == Status.SOLVE_SUCCEEDED
+        lp = mq.banded_sparse_lp(n=1800, m=900, seed=1)
+        s2 = mq.autosolve(lp, **QUIET)
+        assert s2.status == Status.SOLVE_SUCCEEDED
+        ref = mq.solve_sparse_lp(lp, print_level=0)
+        assert s2.objective == pytest.approx(ref.objective, rel=1e-7)
