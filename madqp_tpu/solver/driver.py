@@ -442,11 +442,22 @@ class MPCSolver:
         the device transport) and scale by the recorded counts."""
         kern, p = self.kernel, self.prob
 
-        fact_jit = jax.jit(
-            lambda x, zl, zu, lb, ub, dw, dc: kern._factorize(
-                p, x, lb, ub, zl, zu, dw, dc)[0]
-        )
-        solve_jit = jax.jit(lambda f, rx, ry: kern.kkt.solve(f, rx, ry))
+        # The jits are cached on the (options-shared) kernel with the
+        # problem passed as an ARGUMENT: same-bucket instances reuse the
+        # compiled measurers instead of retracing per solve (fresh jit
+        # objects closing over `p` bake the problem in as constants and
+        # recompile for every instance of a measured suite).
+        fact_jit = getattr(kern, "_measure_fact_jit", None)
+        solve_jit = getattr(kern, "_measure_solve_jit", None)
+        if fact_jit is None:
+            fact_jit = jax.jit(
+                lambda prob, x, zl, zu, lb, ub, dw, dc: kern._factorize(
+                    prob, x, lb, ub, zl, zu, dw, dc)[0]
+            )
+            solve_jit = jax.jit(lambda f, rx, ry: kern.kkt.solve(f, rx, ry))
+            kern._measure_fact_jit = fact_jit
+            kern._measure_solve_jit = solve_jit
+        fact_jit = functools.partial(fact_jit, p)
 
         def best_of(fn, make_args, reps=3):
             best = float("inf")
