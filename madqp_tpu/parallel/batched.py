@@ -152,30 +152,59 @@ class BatchedMPCSolver:
         return solver
 
     def _compile(self):
-        kernel = MPCKernel(self.opts)
-        batched = jax.vmap(kernel.solve_from)
+        def _wrap(fn):
+            if self.mesh is not None:
+                # shard_map over the batch axis: each device runs the
+                # vmapped solver on its local sub-batch — embarrassingly
+                # parallel, no collectives (SURVEY §7.2 M5).  check_vma
+                # off: the computation is purely local per shard, but
+                # lax.cond branches mix freshly-created (unvarying) and
+                # input-derived (varying) leaves of the state.
+                spec = P(self.batch_axis)
+                fn = jax.shard_map(
+                    fn, mesh=self.mesh, in_specs=spec, out_specs=spec,
+                    check_vma=False,
+                )
+            return jax.jit(fn)
+
         if self.mesh is not None:
-            # shard_map over the batch axis: each device runs the vmapped
-            # solver on its local sub-batch — embarrassingly parallel, no
-            # collectives (SURVEY §7.2 M5).
-            spec = P(self.batch_axis)
-            # check_vma off: the computation is purely local per shard (no
-            # collectives), but lax.cond branches mix freshly-created
-            # (unvarying) and input-derived (varying) leaves of the state.
-            sharded = jax.shard_map(
-                batched, mesh=self.mesh, in_specs=spec, out_specs=spec,
-                check_vma=False,
-            )
-            shard = NamedSharding(self.mesh, spec)
+            shard = NamedSharding(self.mesh, P(self.batch_axis))
             shard_tree = lambda tree: jax.tree.map(
                 lambda x: jax.device_put(x, shard), tree
             )
             self.prob = shard_tree(self.prob)
             self.x0, self.y0 = shard_tree((self.x0, self.y0))
             self.lb, self.ub = shard_tree((self.lb, self.ub))
-            self._solve = jax.jit(sharded)
-        else:
-            self._solve = jax.jit(batched)
+
+        opts = self.opts
+        rescue = (opts.factorization_dtype
+                  and opts.factorization_dtype != opts.dtype
+                  and opts.precision_scheme == "two-phase")
+        if not rescue:
+            self._solve = _wrap(jax.vmap(MPCKernel(opts).solve_from))
+            return
+
+        # Mixed-precision rescue, batched (same scheme as the dense
+        # driver): f32 lanes run with stall detection armed; if ANY lane
+        # exits unconverged, every lane warm-restarts a full-precision
+        # endgame in lockstep (converged lanes re-verify and exit within
+        # an iteration or two).  Without this, one ill-conditioned lane
+        # burns max_iter iterations for the whole batch.
+        opts1 = dataclasses.replace(
+            opts, stall_exit=opts.stall_exit if opts.stall_exit > 0 else 5)
+        opts2 = dataclasses.replace(opts, factorization_dtype="")
+        phase1 = _wrap(jax.vmap(MPCKernel(opts1).solve_from))
+        phase2 = _wrap(jax.vmap(MPCKernel(opts2).solve_from_warm))
+
+        def _solve_rescue(prob, x0, y0, lb, ub):
+            f1 = phase1(prob, x0, y0, lb, ub)
+            all_ok = bool(jax.device_get(jnp.all(f1.status == S.SUCCESS)))
+            if all_ok:
+                return f1
+            f2 = phase2(prob, f1.x, f1.y, f1.zl, f1.zu, lb, ub)
+            return f2._replace(k=f1.k + f2.k)
+
+        self._solve = _solve_rescue
 
     def solve_batch(self, prob=None):
         """Run all instances; returns the stacked final IPMState.

@@ -78,3 +78,18 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_batched_mixed_precision_rescue():
+    """An ill-conditioned lane that stalls in f32 must not burn max_iter
+    for the whole batch: the f64 warm rescue phase finishes it."""
+    import madqp_tpu as mq
+    from madqp_tpu.models import suite as S
+    from madqp_tpu.parallel import solve_batched
+
+    qps = [S.transport_lp(12, 15, seed=0), mq.dense_dummy_qp(30, 12, seed=1)]
+    qps = [mq.scale_qp(mq.presolve_qp(q)[0])[0] for q in qps]
+    stats = solve_batched(qps, tol=1e-8, max_iter=300, print_level=40,
+                          factorization_dtype="float32", max_refine_steps=1)
+    assert all(s.status == mq.Status.SOLVE_SUCCEEDED for s in stats)
+    assert all(s.iter < 100 for s in stats)
