@@ -216,20 +216,41 @@ def main():
 
         solve_opts = {k: v for k, v in options.items()
                       if k not in ("backend", "pad_mode")}
-        t0 = time.time()
-        stats = solve_batched([qp for _, qp in instances], **solve_opts)
-        total = time.time() - t0
-        for (nm, qp), st in zip(instances, stats):
-            rec = {
-                "name": nm, "nvar": qp.nvar, "ncon": qp.ncon,
-                "nnzj": qp.nnzj, "nnzh": qp.nnzh,
-                "status": int(st.status == mq.Status.SOLVE_SUCCEEDED),
-                "iter": st.iter, "objective": st.objective,
-                "total_time": total,  # shared batch wall time
-                "linear_solver_time": -1.0,
-            }
-            results.append(rec)
-            print(json.dumps(rec), flush=True)
+
+        # Group instances into power-of-two size buckets and run one
+        # lockstep batch per bucket: padding every lane to the single
+        # largest instance wastes MXU work quadratically (a 121-var lane
+        # padded to 2300 does ~360x the flops it needs) and can exceed
+        # device memory on wide suites.
+        def _bucket(v, lo=32):
+            b = lo
+            while b < v:
+                b *= 2
+            return b
+
+        groups: dict = {}
+        for nm, qp in instances:
+            key = _bucket(qp.nvar + qp.ncon)
+            groups.setdefault(key, []).append((nm, qp))
+        for key in sorted(groups):
+            batch = groups[key]
+            t0 = time.time()
+            stats = solve_batched([qp for _, qp in batch], **solve_opts)
+            total = time.time() - t0
+            print(f"# bucket {key}: {len(batch)} instances, "
+                  f"{total:.2f}s", file=sys.stderr)
+            for (nm, qp), st in zip(batch, stats):
+                rec = {
+                    "name": nm, "nvar": qp.nvar, "ncon": qp.ncon,
+                    "nnzj": qp.nnzj, "nnzh": qp.nnzh,
+                    "status": int(st.status == mq.Status.SOLVE_SUCCEEDED),
+                    "iter": st.iter, "objective": st.objective,
+                    "total_time": total,  # shared bucket-batch wall time
+                    "linear_solver_time": -1.0,
+                }
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+            _checkpoint()
     else:
         for nm, qp in instances:
             rec = run_instance(nm, qp, options)
