@@ -144,6 +144,10 @@ def main():
     ap.add_argument("--batched", action="store_true",
                     help="solve the whole suite as ONE vmapped batch "
                          "(single compile, lockstep iterations)")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="batched mode: re-solve each bucket in-process "
+                         "(value-perturbed) this many times total and "
+                         "record the best warm wall time as warm_time")
     ap.add_argument("--out", default="")
     ap.add_argument("--resume", action="store_true",
                     help="checkpoint/resume: skip instances already recorded "
@@ -212,7 +216,7 @@ def main():
             os.replace(tmp, args.out)
 
     if args.batched and instances:
-        from madqp_tpu.parallel import solve_batched
+        from madqp_tpu.parallel import BatchedMPCSolver
 
         solve_opts = {k: v for k, v in options.items()
                       if k not in ("backend", "pad_mode")}
@@ -235,10 +239,27 @@ def main():
         for key in sorted(groups):
             batch = groups[key]
             t0 = time.time()
-            stats = solve_batched([qp for _, qp in batch], **solve_opts)
+            solver = BatchedMPCSolver.from_problems(
+                [qp for _, qp in batch], **solve_opts)
+            stats = solver.solve_all()
             total = time.time() - t0
+            # True warm wall time: re-solve the same compiled bucket batch
+            # in-process on value-perturbed data (identical repeated
+            # requests can be served from caches in the device tunnel;
+            # fresh processes re-pay trace+compile).  This is the number
+            # that matters for production sweeps / receding-horizon use.
+            warm = -1.0
+            if args.repeat > 1:
+                walls = []
+                for r in range(1, args.repeat):
+                    prob_r = solver.prob._replace(
+                        c=solver.prob.c * (1.0 + 1e-5 * r))
+                    tw = time.time()
+                    solver.solve_batch(prob_r)
+                    walls.append(time.time() - tw)
+                warm = min(walls)
             print(f"# bucket {key}: {len(batch)} instances, "
-                  f"{total:.2f}s", file=sys.stderr)
+                  f"{total:.2f}s cold, {warm:.3f}s warm", file=sys.stderr)
             for (nm, qp), st in zip(batch, stats):
                 rec = {
                     "name": nm, "nvar": qp.nvar, "ncon": qp.ncon,
@@ -246,6 +267,7 @@ def main():
                     "status": int(st.status == mq.Status.SOLVE_SUCCEEDED),
                     "iter": st.iter, "objective": st.objective,
                     "total_time": total,  # shared bucket-batch wall time
+                    "warm_time": warm,    # shared in-process warm re-solve
                     "linear_solver_time": -1.0,
                 }
                 results.append(rec)
