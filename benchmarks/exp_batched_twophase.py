@@ -63,12 +63,25 @@ def main():
         qps, dtype="float32", tol=args.phase1_tol, stall_exit=5, **{
             k: v for k, v in base.items() if k != "tol"})
 
-    def timeit(fn, *a, reps=3):
-        out = jax.block_until_ready(fn(*a))  # compile
+    def timeit(fn, *a, perturb=(0,), reps=3):
+        """Times fn(*a); perturbs the .c of the args at indices `perturb`
+        per rep (identical repeated requests are served from caches in
+        the device tunnel) and fetches a scalar from the result inside
+        the timed region (block_until_ready alone does NOT synchronize
+        through the tunnel — only a device_get does)."""
+        def sync(o):
+            leaf = jax.tree.leaves(o)[0]
+            jax.device_get(jnp.sum(leaf))
+            return o
+
+        out = sync(fn(*a))  # compile
         walls = []
-        for _ in range(reps):
+        for r in range(1, reps + 1):
+            args = list(a)
+            for i in perturb:
+                args[i] = args[i]._replace(c=args[i].c * (1.0 + 1e-5 * r))
             t0 = time.time()
-            out = jax.block_until_ready(fn(*a))
+            out = sync(fn(*args))
             walls.append(time.time() - t0)
         return min(walls), out
 
@@ -90,7 +103,7 @@ def main():
         return f1, f2
 
     tp = jax.jit(two_phase)
-    t_2p, (f1, f2) = timeit(tp, p1.prob, ref.prob)
+    t_2p, (f1, f2) = timeit(tp, p1.prob, ref.prob, perturb=(0, 1))
     ok = int(jnp.sum(f2.status == S.SUCCESS))
     print(f"two-phase:    phase1 k_max {int(jnp.max(f1.k))}  "
           f"phase2 k_max {int(jnp.max(f2.k))}  "
