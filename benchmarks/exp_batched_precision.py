@@ -38,22 +38,19 @@ def build(batch, n, m, **opt_kw):
 
 
 def time_iteration(solver, reps=20):
-    import dataclasses
-
     import jax
-    import jax.numpy as jnp
     from madqp_tpu.solver.mpc import MPCKernel
 
     kernel = MPCKernel(solver.opts)
     init = jax.jit(jax.vmap(kernel.init_state))
     step = jax.jit(jax.vmap(kernel.iteration))
-    st = jax.block_until_ready(
-        init(solver.prob, solver.x0, solver.y0, solver.lb, solver.ub))
-    st = jax.block_until_ready(step(solver.prob, st))  # compile
+    st = init(solver.prob, solver.x0, solver.y0, solver.lb, solver.ub)
+    st = step(solver.prob, st)  # compile
+    jax.device_get(st.k)  # sync (block_until_ready is a no-op on axon)
     t0 = time.time()
     for _ in range(reps):
         st = step(solver.prob, st)
-    jax.block_until_ready(st)
+    jax.device_get(st.k)
     return (time.time() - t0) / reps
 
 

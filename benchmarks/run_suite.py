@@ -248,18 +248,20 @@ def main():
             # requests can be served from caches in the device tunnel;
             # fresh processes re-pay trace+compile).  This is the number
             # that matters for production sweeps / receding-horizon use.
-            warm = -1.0
+            warm = None
             if args.repeat > 1:
                 walls = []
                 for r in range(1, args.repeat):
                     prob_r = solver.prob._replace(
                         c=solver.prob.c * (1.0 + 1e-5 * r))
                     tw = time.time()
+                    # solve_batch synchronizes via device_get (batched.py)
                     solver.solve_batch(prob_r)
                     walls.append(time.time() - tw)
                 warm = min(walls)
+            warm_s = f", {warm:.3f}s warm" if warm is not None else ""
             print(f"# bucket {key}: {len(batch)} instances, "
-                  f"{total:.2f}s cold, {warm:.3f}s warm", file=sys.stderr)
+                  f"{total:.2f}s cold{warm_s}", file=sys.stderr)
             for (nm, qp), st in zip(batch, stats):
                 rec = {
                     "name": nm, "nvar": qp.nvar, "ncon": qp.ncon,

@@ -293,16 +293,24 @@ def build_standard_form_sparse(
     qp: QuadraticProblem,
     scaling: bool = True,
     max_gradient: float = 100.0,
+    fixed_variable_treatment: str = "make_parameter",
+    bound_relax_factor: float = 1e-8,
 ) -> tuple[SparseStandardQP, TransformInfo, np.ndarray, np.ndarray]:
     """Convert a general QP to internal standard form, keeping H/A sparse.
 
     Pipeline (reference analogs):
-      1. eliminate fixed variables by substitution (MakeParameter semantics,
-         src/utils.jl:81);
+      1. treat fixed variables: eliminate by substitution (MakeParameter
+         semantics, src/utils.jl:81) or relax the bound pair in place
+         (RelaxBound semantics — the reference's condensed-KKT default);
       2. append one slack per inequality row: `A x - s = 0`, bounds on s
          (MadNLP get_index_constraints semantics, src/structure.jl:95-112);
       3. max-gradient scaling of constraint rows and the objective
          (MadNLP set_scaling! with max_gradient=100, src/solver.jl:148-159).
+
+    Raises NotEnoughDegreesOfFreedomException when the internal equality
+    system is over-determined (m > n_free after fixed-variable
+    elimination) — the reference surfaces this as status 7
+    (src/solver.jl:379-380).
 
     Returns (standard_qp, info, x0_int, y0_int) with x0/y0 mapped into the
     internal space (slack part initialized to scaled A x0).
@@ -315,6 +323,22 @@ def build_standard_form_sparse(
         raise ValueError("infeasible constraints: lcon > ucon")
 
     sign = 1.0 if qp.minimize else -1.0
+
+    if fixed_variable_treatment == "relax_bound":
+        # RelaxBound (src/utils.jl:81): keep fixed columns as ordinary
+        # bounded variables with the pair widened symmetrically; the
+        # interior of [l-eps, u+eps] is then non-empty.
+        fmask = lvar == uvar
+        if np.any(fmask):
+            lvar, uvar = lvar.copy(), uvar.copy()
+            eps = bound_relax_factor * np.maximum(1.0, np.abs(lvar[fmask]))
+            lvar[fmask] -= eps
+            uvar[fmask] += eps
+    elif fixed_variable_treatment != "make_parameter":
+        raise ValueError(
+            "fixed_variable_treatment must be 'make_parameter' or "
+            f"'relax_bound', got {fixed_variable_treatment!r}"
+        )
 
     fixed_mask = lvar == uvar
     fixed_idx = np.where(fixed_mask)[0]
@@ -360,6 +384,17 @@ def build_standard_form_sparse(
     ns = len(ineq_rows)
     n_int = n_kept + ns
     m_int = m_user
+    if m_int > n_int:
+        # More equality rows than free columns (inequalities contribute a
+        # slack each): the internal equality system is over-determined.
+        # The reference maps MadNLP's NotEnoughDegreesOfFreedomException
+        # to status 7 (src/solver.jl:379-380).
+        from ..utils.exceptions import NotEnoughDegreesOfFreedomException
+
+        raise NotEnoughDegreesOfFreedomException(
+            f"{m_int} constraints > {n_int} free variables "
+            f"({len(fixed_idx)} fixed eliminated, {ns} slacks added)"
+        )
 
     # Slack block: -I on the inequality rows.
     slack_block = sp.coo_matrix(
@@ -447,10 +482,14 @@ def build_standard_form(
     qp: QuadraticProblem,
     scaling: bool = True,
     max_gradient: float = 100.0,
+    fixed_variable_treatment: str = "make_parameter",
+    bound_relax_factor: float = 1e-8,
 ) -> tuple[StandardQP, TransformInfo, np.ndarray, np.ndarray]:
     """Dense-path standard form: the sparse core, densified (SURVEY §7.1:
     dense padded arrays beat sparse on the TPU MXU for moderate n)."""
     std_sp, info, x0_int, y0_int = build_standard_form_sparse(
-        qp, scaling=scaling, max_gradient=max_gradient
+        qp, scaling=scaling, max_gradient=max_gradient,
+        fixed_variable_treatment=fixed_variable_treatment,
+        bound_relax_factor=bound_relax_factor,
     )
     return std_sp.densify(), info, x0_int, y0_int

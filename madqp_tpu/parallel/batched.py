@@ -216,7 +216,11 @@ class BatchedMPCSolver:
             prob if prob is not None else self.prob,
             self.x0, self.y0, self.lb, self.ub,
         )
-        jax.block_until_ready(final)
+        # Synchronize by fetching a scalar: block_until_ready does not
+        # synchronize through the tunneled (axon PJRT) backend — only a
+        # device_get observably completes the computation, so timed
+        # callers would otherwise under-report wall time.
+        jax.device_get(final.k)
         return final
 
     def solve_all(self) -> List[ExecutionStats]:

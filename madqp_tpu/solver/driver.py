@@ -95,15 +95,36 @@ class MPCSolver:
                     "diagonal-Hessian QPs; use sparse-augmented."
                 )
 
+        # Construction-time numeric errors (e.g. too few degrees of
+        # freedom) surface as a terminal status from solve(), matching the
+        # reference's exception -> status taxonomy (src/solver.jl:379-380)
+        # rather than escaping the constructor.
+        self._construct_error = None
+
         self._sparse = opts.kkt_system in ("sparse-normal", "sparse-augmented")
         if self._sparse:
-            self._init_sparse(qp, opts)
+            try:
+                self._init_sparse(qp, opts)
+            except MadQPError as e:
+                self._construct_error = e
+                self.cnt = Counters(start_time=time.time(), init_time=0.0)
+                if opts.rethrow_error:
+                    raise
             return
 
         t0 = time.time()
-        self.std, self.info, x0_int, y0_int = build_standard_form(
-            qp, scaling=opts.scaling, max_gradient=opts.max_gradient
-        )
+        try:
+            self.std, self.info, x0_int, y0_int = build_standard_form(
+                qp, scaling=opts.scaling, max_gradient=opts.max_gradient,
+                fixed_variable_treatment=opts.fixed_variable_treatment,
+                bound_relax_factor=opts.bound_relax_factor,
+            )
+        except MadQPError as e:
+            self._construct_error = e
+            self.cnt = Counters(start_time=t0, init_time=time.time() - t0)
+            if opts.rethrow_error:
+                raise
+            return
         if opts.pad_mode == "bucket":
             # Pad to power-of-two shape buckets so ragged suites share
             # compiled executables (stats recovery slices back via info).
@@ -143,7 +164,9 @@ class MPCSolver:
 
         t0 = time.time()
         self.std, self.info, x0_int, y0_int = build_standard_form_sparse(
-            qp, scaling=opts.scaling, max_gradient=opts.max_gradient
+            qp, scaling=opts.scaling, max_gradient=opts.max_gradient,
+            fixed_variable_treatment=opts.fixed_variable_treatment,
+            bound_relax_factor=opts.bound_relax_factor,
         )
         dtype = jnp.dtype(opts.dtype)
         fact_dtype = opts.factorization_dtype or None
@@ -347,6 +370,18 @@ class MPCSolver:
 
     def solve(self, **kwargs) -> ExecutionStats:
         """Run the solve (reference solve!, src/solver.jl:347-403)."""
+        if self._construct_error is not None:
+            status = self._construct_error.status
+            self.logger.notice(f"EXIT: {get_status_output(status)}")
+            nan = float("nan")
+            empty = np.full(self.qp.nvar, nan)
+            return ExecutionStats(
+                status=status, objective=nan, solution=empty,
+                constraints=np.full(self.qp.ncon, nan),
+                multipliers=np.full(self.qp.ncon, nan),
+                multipliers_L=empty, multipliers_U=empty,
+                iter=0, counters=self.cnt, options=self.opts,
+            )
         if kwargs:
             # Solve-time option overrides force a re-trace.
             opts, ignored = load_options(
@@ -359,6 +394,8 @@ class MPCSolver:
 
         cnt = self.cnt
         cnt.start_time = time.time()
+        cnt.linear_solver_time = 0.0
+        self._ls_measured = False
         fact = self.opts.factorization_dtype or self.opts.dtype
         self.logger.notice(
             f"This is MadQP-TPU, running with {self.kernel.kkt.name} KKT "
@@ -425,64 +462,109 @@ class MPCSolver:
                 raise
         finally:
             cnt.total_time = time.time() - cnt.start_time
+            if (self.opts.measure_linear_solver and final is not None
+                    and not self._ls_measured):
+                # jit-loop path: extrapolate from timed factorize/backsolve
+                # at the terminal iterate (the python loop accumulates
+                # per-iterate measurements instead).
+                try:
+                    cnt.linear_solver_time = self._measure_linear_solver(final)
+                except Exception:
+                    pass  # measurement is best-effort; never fail the solve
+            if final is not None:
+                # Reference print_summary (src/solver.jl:394), before EXIT.
+                sign = 1.0 if self.info.minimize else -1.0
+                self.logger.print_summary(
+                    iter=int(final.k),
+                    objective=sign * float(final.obj_val) / self.info.obj_scale,
+                    objective_scaled=float(final.obj_val),
+                    inf_pr=float(final.inf_pr),
+                    inf_du=float(final.inf_du),
+                    inf_compl=float(final.inf_compl),
+                    total_time=cnt.total_time,
+                    init_time=cnt.init_time,
+                    linear_solver_time=(
+                        cnt.linear_solver_time
+                        if self.opts.measure_linear_solver else -1.0),
+                    factorizations=int(final.n_fact),
+                    backsolves=int(final.n_solve),
+                )
             self.logger.notice(f"EXIT: {get_status_output(status)}")
 
-        if self.opts.measure_linear_solver and final is not None:
-            try:
-                cnt.linear_solver_time = self._measure_linear_solver(final)
-            except Exception:
-                pass  # measurement is best-effort; never fail the solve
         return self._build_stats(final, status)
+
+    def _measure_jits(self):
+        """Timed factorize/backsolve measurers.
+
+        Each jit returns (result, probe) where probe is a scalar reduction
+        over every output leaf: fetching it with device_get both
+        synchronizes (block_until_ready does not observably complete
+        computations through the tunneled axon backend) and defeats XLA
+        dead-code elimination of the un-fetched outputs.
+
+        Cached on the (options-shared) kernel with the problem passed as an
+        ARGUMENT: same-bucket instances reuse the compiled measurers
+        instead of retracing per solve (fresh jit objects closing over the
+        problem bake it in as constants and recompile per instance)."""
+        kern = self.kernel
+        cached = getattr(kern, "_measure_jits", None)
+        if cached is not None:
+            return cached
+
+        def probe(tree):
+            s = jnp.zeros((), jnp.float32)
+            for leaf in jax.tree_util.tree_leaves(tree):
+                s = s + jnp.sum(leaf).astype(jnp.float32)
+            return s
+
+        def fact_fn(prob, x, zl, zu, lb, ub, dw, dc):
+            factors = kern._factorize(prob, x, lb, ub, zl, zu, dw, dc)[0]
+            return factors, probe(factors)
+
+        def solve_fn(f, rx, ry):
+            out = kern.kkt.solve(f, rx, ry)
+            return out, probe(out)
+
+        cached = (jax.jit(fact_fn), jax.jit(solve_fn))
+        kern._measure_jits = cached
+        return cached
+
+    def _measure_at(self, st, reps=2):
+        """Measured wall seconds of (one factorization, one backsolve) at
+        iterate `st` (best of reps; value-perturbed inputs each rep so the
+        device transport cannot serve a memoized reply)."""
+        fact_jit, solve_jit = self._measure_jits()
+        p = self.prob
+        eps = 1e-9
+
+        def best_of(fn, make_args):
+            best = float("inf")
+            for i in range(reps):
+                t0 = time.time()
+                out = fn(*make_args(i))
+                jax.device_get(out[1])  # sync on the scalar probe
+                best = min(best, time.time() - t0)
+            return best, out[0]
+
+        t_fact, factors = best_of(
+            lambda *a: fact_jit(p, *a),
+            lambda i: (st.x * (1.0 + eps * i), st.zl, st.zu, st.lb, st.ub,
+                       st.del_w, st.del_c),
+        )
+        t_solve, _ = best_of(
+            solve_jit, lambda i: (factors, st.x * (1.0 + eps * i), st.y),
+        )
+        return t_fact, t_solve
 
     def _measure_linear_solver(self, final) -> float:
         """Estimate cumulative factorize+backsolve time (the reference's
-        linear_solver_time, scripts/benchmarks_cpu.jl:55): time one
-        factorization and one backsolve at the terminal iterate (distinct
-        inputs each repetition — identical dispatches can be memoized by
-        the device transport) and scale by the recorded counts."""
-        kern, p = self.kernel, self.prob
-
-        # The jits are cached on the (options-shared) kernel with the
-        # problem passed as an ARGUMENT: same-bucket instances reuse the
-        # compiled measurers instead of retracing per solve (fresh jit
-        # objects closing over `p` bake the problem in as constants and
-        # recompile for every instance of a measured suite).
-        fact_jit = getattr(kern, "_measure_fact_jit", None)
-        solve_jit = getattr(kern, "_measure_solve_jit", None)
-        if fact_jit is None:
-            fact_jit = jax.jit(
-                lambda prob, x, zl, zu, lb, ub, dw, dc: kern._factorize(
-                    prob, x, lb, ub, zl, zu, dw, dc)[0]
-            )
-            solve_jit = jax.jit(lambda f, rx, ry: kern.kkt.solve(f, rx, ry))
-            kern._measure_fact_jit = fact_jit
-            kern._measure_solve_jit = solve_jit
-        fact_jit = functools.partial(fact_jit, p)
-
-        def best_of(fn, make_args, reps=3):
-            best = float("inf")
-            for i in range(reps):
-                args = make_args(i)
-                t0 = time.time()
-                jax.block_until_ready(fn(*args))
-                best = min(best, time.time() - t0)
-            return best
-
-        f0 = final
-        eps = 1e-9
-        t_fact = best_of(
-            fact_jit,
-            lambda i: (f0.x * (1.0 + eps * i), f0.zl, f0.zu, f0.lb, f0.ub,
-                       f0.del_w, f0.del_c),
-        )
-        factors = fact_jit(f0.x, f0.zl, f0.zu, f0.lb, f0.ub,
-                           f0.del_w, f0.del_c)
-        rx = f0.x
-        ry = f0.y
-        t_solve = best_of(
-            solve_jit, lambda i: (factors, rx * (1.0 + eps * i), ry),
-        )
-        return (t_fact * int(f0.n_fact) + t_solve * int(f0.n_solve))
+        linear_solver_time, scripts/benchmarks_cpu.jl:55) for the jitted
+        while_loop path, where per-iteration timing is unobservable: time
+        one factorization and one backsolve at the terminal iterate and
+        scale by the recorded counts.  The python loop path accumulates
+        per-iterate measurements instead (see _run_python_loop)."""
+        t_fact, t_solve = self._measure_at(final, reps=3)
+        return t_fact * int(final.n_fact) + t_solve * int(final.n_solve)
 
     def set_initial_point(self, x=None, y=None, zl=None, zu=None):
         """Supply a user-space warm-start point for the next solve().
@@ -570,6 +652,14 @@ class MPCSolver:
             state = self._init_jit(
                 self.prob, self._x0, self._y0, self._lb0, self._ub0
             )
+        measure = self.opts.measure_linear_solver
+        if measure and (int(state.n_fact) or int(state.n_solve)):
+            # starting-point factorization + 3 KKT solves (init_state)
+            t_fact, t_solve = self._measure_at(state)
+            self.cnt.linear_solver_time += (
+                t_fact * int(state.n_fact) + t_solve * int(state.n_solve))
+            self._ls_measured = True
+
         def run(iter_jit, state, k_off):
             while int(state.status) == S.RUNNING:
                 if time.time() > deadline:
@@ -577,6 +667,17 @@ class MPCSolver:
                     return state
                 prev = state
                 state = iter_jit(self.prob, prev)
+                if measure:
+                    # True accumulation (vs the jit path's terminal-iterate
+                    # extrapolation): measure one factorize and one
+                    # backsolve at THIS iterate, scaled by this iteration's
+                    # actual factorization/backsolve counts.
+                    t_fact, t_solve = self._measure_at(prev)
+                    self.cnt.linear_solver_time += (
+                        t_fact * (int(state.n_fact) - int(prev.n_fact))
+                        + t_solve * (int(state.n_solve) - int(prev.n_solve))
+                    )
+                    self._ls_measured = True
                 if verbose:
                     self.logger.print_iter(
                         k_off + int(prev.k),

@@ -349,7 +349,11 @@ class HostMPCSolver:
         mu = opts.mu_init
         alpha_p = alpha_d = 1.0
         d_norm = 0.0
-        n_bounded = int(np.sum(p.has_lb) + np.sum(p.has_ub))
+        if opts.barrier_gate == "one-sided":  # reference gate (kernels.jl:227)
+            n_bounded = int(np.sum(p.has_lb & ~p.has_ub)
+                            + np.sum(~p.has_lb & p.has_ub))
+        else:
+            n_bounded = int(np.sum(p.has_lb) + np.sum(p.has_ub))
         status = Status.MAXIMUM_ITERATIONS_EXCEEDED
         d = K.KKTVec(
             x=jnp.zeros(p.n), y=jnp.zeros(p.m),

@@ -343,9 +343,16 @@ class MPCKernel:
             corr_lb, corr_ub = K.mehrotra_correction(d_aff, *masks)
 
             # Barrier update.  The sigma-vs-1 gate is the traced count of
-            # bounded entries (see state.count_onesided rationale).
+            # bounded entries (see state.count_onesided rationale); with
+            # barrier_gate="one-sided" it reproduces the reference's gate
+            # (src/kernels.jl:227-233: adaptive sigma only when one-sided
+            # bounds exist) — see benchmarks/exp_barrier_gate.py.
             mu_curr = K.complementarity_measure(x, lb, ub, *masks, zl, zu)
-            n_bounded = jnp.sum(p.has_lb) + jnp.sum(p.has_ub)
+            if self.opts.barrier_gate == "one-sided":
+                n_bounded = (jnp.sum(p.has_lb & ~p.has_ub)
+                             + jnp.sum(~p.has_lb & p.has_ub))
+            else:
+                n_bounded = jnp.sum(p.has_lb) + jnp.sum(p.has_ub)
             bar = self.opts.barrier_update
             mu_new = K.mehrotra_barrier(
                 mu_curr, mu_aff, n_bounded, self.opts.mu_min,

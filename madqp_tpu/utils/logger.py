@@ -88,3 +88,37 @@ class MadLogger:
     def print_ignored_options(self, ignored: dict) -> None:
         for k in ignored:
             self.log(WARN, f"Option {k} is not supported; ignoring it.")
+
+    def print_summary(
+        self,
+        iter: int,
+        objective: float,
+        objective_scaled: float,
+        inf_pr: float,
+        inf_du: float,
+        inf_compl: float,
+        total_time: float,
+        init_time: float,
+        linear_solver_time: float,
+        factorizations: int,
+        backsolves: int,
+    ) -> None:
+        """Final summary block (reference MadNLP.print_summary, called at
+        src/solver.jl:394 for non-error exits)."""
+        ls = (f"{linear_solver_time:18.6f}" if linear_solver_time >= 0
+              else "      not measured")
+        self.log(NOTICE, (
+            f"\nNumber of Iterations....: {iter}\n"
+            "\n"
+            "                                   (scaled)                 (unscaled)\n"
+            f"Objective...............:  {objective_scaled: .16e}   {objective: .16e}\n"
+            f"Dual infeasibility......:  {inf_du: .16e}\n"
+            f"Constraint violation....:  {inf_pr: .16e}\n"
+            f"Complementarity.........:  {inf_compl: .16e}\n"
+            "\n"
+            f"Number of KKT factorizations                 = {factorizations}\n"
+            f"Number of KKT backsolves                     = {backsolves}\n"
+            f"Total seconds in initialization              = {init_time:18.6f}\n"
+            f"Total seconds in solver                      = {total_time:18.6f}\n"
+            f"Total seconds in linear solver               = {ls}\n"
+        ))

@@ -177,10 +177,23 @@ class IPMOptions:
     bound_push: float = 1e-2
     bound_fac: float = 1e-2
     bound_relax_factor: float = 1e-8
+    # Fixed-variable treatment (reference src/utils.jl:81-82):
+    # "make_parameter" eliminates lvar==uvar columns by substitution;
+    # "relax_bound" keeps them, widening the bound pair by
+    # bound_relax_factor * max(1, |value|) on each side (the reference's
+    # default for the condensed KKT system).
+    fixed_variable_treatment: str = "make_parameter"
     # Policies
     regularization: Regularization = FixedRegularization(1e-8, 0.0)
     step_rule: StepRule = AdaptiveStep(0.99)
     barrier_update: Mehrotra = Mehrotra()
+    # Gate for the Mehrotra sigma-vs-1 branch.  The reference applies the
+    # adaptive cube rule only when ONE-SIDED bounds exist
+    # (src/kernels.jl:227-233: ind_llb/ind_uub nonempty), forcing sigma=1
+    # otherwise.  "any-bound" (default) applies it whenever any finite
+    # bound exists: sigma=1 stalls on bounds-only (two-sided) problems —
+    # see benchmarks/exp_barrier_gate.py for the A/B trajectories.
+    barrier_gate: str = "any-bound"  # or "one-sided" (reference behavior)
     max_ncorr: int = 0          # Gondzio multi-corrections
     s_max: float = 100.0
     mu_init: float = 1e-1
