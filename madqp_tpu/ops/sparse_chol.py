@@ -388,6 +388,45 @@ class BucketedSymbolic:
         return np.asarray(U.data, dtype=np.float64)
 
 
+# Pytree registrations: the schedule's gather/scatter index arrays are
+# LEAVES so a device-resident twin (jax.device_put(bs)) can be passed as a
+# jit ARGUMENT.  Baking them as host constants folds tens of MB into every
+# lowered module — measured on the grid-20k normal matrix: 84 MB module,
+# 8.4 s lower + 15.9 s XLA compile for ONE factorization walk (CPU), vs
+# ~0 s with the arrays passed as arguments (benchmarks/
+# exp_compile_breakdown.py).  Shape/pad metadata stays static aux data.
+
+def _register_sched(cls, leaf_fields, aux_fields):
+    def flatten(obj):
+        return ([getattr(obj, f) for f in leaf_fields],
+                tuple(getattr(obj, f) for f in aux_fields))
+
+    def unflatten(aux, children):
+        return cls(**dict(zip(aux_fields, aux)),
+                   **dict(zip(leaf_fields, children)))
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+
+
+_register_sched(
+    _Bucket,
+    ("cols_idx", "below_idx", "asm_src", "asm_dst", "pad_dst",
+     "child_src", "child_dst", "upd_src", "upd_dst", "diag_rows"),
+    ("w_pad", "u_pad", "count"),
+)
+_register_sched(
+    _Chain,
+    ("cols_idx", "below_idx", "asm_src", "asm_dst", "pad_dst", "chain_dst",
+     "tri_src", "init_src", "final_src", "final_dst", "diag_rows"),
+    ("w_pad", "u_pad", "count"),
+)
+_register_sched(
+    BucketedSymbolic,
+    ("perm", "iperm", "Up", "Ui", "schedule"),
+    ("n", "total_upd"),
+)
+
+
 _CHAIN_MIN = 4  # minimum path length worth a scan
 
 

@@ -97,24 +97,39 @@ class MPCKernel:
         """Factorize; on failure escalate both regularizations by 100x, up
         to 3 trials (reference factorize_regularized_system!).  Zero
         regularization is seeded with a small nonzero so singular KKT
-        systems (e.g. rank-deficient A) still factor."""
-        f0, ok0 = make_factors(del_w, del_c)
+        systems (e.g. rank-deficient A) still factor.
+
+        The factorization is traced ONCE (inside the while body, which also
+        performs the initial trial): on the sparse supernodal paths one
+        factorization walk costs seconds of lower+compile, so trace count
+        directly sets the compile bill (exp_compile_breakdown.py).  The
+        initial factor carry is a zeros pytree from eval_shape — never
+        observable, the body always overwrites it on trial 0."""
+        dw0 = jnp.asarray(del_w, self.dtype)
+        dc0 = jnp.asarray(del_c, self.dtype)
+        shapes = jax.eval_shape(make_factors, dw0, dc0)
+        f_init = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes[0]
+        )
 
         def cond(carry):
             trial, _, _, _, ok = carry
+            # trial 0 is the unescalated attempt; 3 attempts total, same
+            # as the previous initial-call + 2-retry structure.
             return jnp.logical_and(~ok, trial < _MAX_FACT_TRIALS)
 
         def body(carry):
             trial, dw, dc, _, _ = carry
-            dw = jnp.where(dw != 0.0, dw * _REG_ESCALATION, 1e-8)
-            dc = jnp.where(dc != 0.0, dc * _REG_ESCALATION, -1e-8)
+            esc_w = jnp.where(dw != 0.0, dw * _REG_ESCALATION, 1e-8)
+            esc_c = jnp.where(dc != 0.0, dc * _REG_ESCALATION, -1e-8)
+            dw = jnp.where(trial == 0, dw, esc_w)
+            dc = jnp.where(trial == 0, dc, esc_c)
             f, ok = make_factors(dw, dc)
             return (trial + 1, dw, dc, f, ok)
 
         trial, dw, dc, f, ok = lax.while_loop(
             cond, body,
-            (jnp.int32(1), jnp.asarray(del_w, self.dtype),
-             jnp.asarray(del_c, self.dtype), f0, ok0),
+            (jnp.int32(0), dw0, dc0, f_init, jnp.asarray(False)),
         )
         return f, dw, dc, ok
 
@@ -143,9 +158,18 @@ class MPCKernel:
             Kd = kkt_mul(p, del_w, del_c, x, lb, ub, *masks, zl, zu, d)
             return jax.tree.map(lambda a, b: a - b, p_rhs, Kd)
 
-        d = backsolve(p_rhs)
-        for _ in range(self.opts.max_refine_steps):
+        # One backsolve TRACE regardless of refinement depth: start from
+        # d = 0 (residual(0) == p_rhs, so step 0 is the plain backsolve)
+        # and run 1 + max_refine_steps correction steps under lax.scan —
+        # on the sparse supernodal paths each traced backsolve walk costs
+        # seconds of compile (exp_compile_breakdown.py).
+        def refine_step(d, _):
             d = jax.tree.map(lambda a, b: a + b, d, backsolve(residual(d)))
+            return d, None
+
+        d0 = jax.tree.map(jnp.zeros_like, p_rhs)
+        d, _ = lax.scan(refine_step, d0, None,
+                        length=1 + self.opts.max_refine_steps)
 
         w = residual(d)
         ratio = w.flat_inf_norm() / jnp.maximum(1.0, p_rhs.flat_inf_norm())
@@ -209,7 +233,12 @@ class MPCKernel:
         active = jnp.asarray(True)
         failed = jnp.asarray(False)
 
-        for _ in range(self.opts.max_ncorr):
+        # One lax.scan step per correction: the body (one backsolve walk)
+        # is traced ONCE regardless of max_ncorr — with max_ncorr=3 (the
+        # reference benchmark setting) the unrolled form tripled the
+        # backsolve trace count (exp_compile_breakdown.py).
+        def step(carry, _):
+            d, corr_lb, corr_ub, alpha_p, alpha_d, active, failed = carry
             tilde_p = jnp.minimum(alpha_p + _GONDZIO_DELTA, 1.0)
             tilde_d = jnp.minimum(alpha_d + _GONDZIO_DELTA, 1.0)
             ga = K.affine_complementarity_measure(
@@ -240,7 +269,11 @@ class MPCKernel:
             corr_ub = jnp.where(accept, new_ub, corr_ub)
             alpha_p = jnp.where(accept, hat_p, alpha_p)
             alpha_d = jnp.where(accept, hat_d, alpha_d)
-            active = accept
+            return (d, corr_lb, corr_ub, alpha_p, alpha_d, accept, failed), None
+
+        carry = (d, corr_lb, corr_ub, alpha_p, alpha_d, active, failed)
+        carry, _ = lax.scan(step, carry, None, length=self.opts.max_ncorr)
+        d, _, _, _, _, _, failed = carry
         return d, failed
 
     # -- one MPC iteration (src/solver.jl:254-344) ---------------------------
@@ -475,12 +508,18 @@ class MPCKernel:
             make_init_factors, del_w, del_c
         )
 
+        # Steps 1+2 share the factors and are independent — run them as ONE
+        # vmapped 2-RHS backsolve so the schedule is traced once (each
+        # traced walk costs seconds of compile on the sparse paths).
         # Step 1: primal least squares x += dx with A dx ~ (b - A x).
-        dx, _ = self.kkt.solve(factors, zero_n, -c_res)
-        x = x + dx
         # Step 2: dual least squares A' y ~ -g.
-        _, dy = self.kkt.solve(factors, -g, jnp.zeros(p.m, dt))
-        y = dy
+        rx2 = jnp.stack([zero_n, -g])
+        ry2 = jnp.stack([-c_res, jnp.zeros(p.m, dt)])
+        dx2, dy2 = jax.vmap(
+            lambda rx, ry: self.kkt.solve(factors, rx, ry)
+        )(rx2, ry2)
+        x = x + dx2[0]
+        y = dy2[1]
         # Step 3: bound duals from the dual residual r = g + A'y.
         r = g + self.jtprod(p, y)
         ones_n = jnp.ones(p.n, dt)

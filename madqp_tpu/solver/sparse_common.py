@@ -80,12 +80,30 @@ def get_sparse_kernel(kind: str, fingerprint: str, opts, make_kkt):
         return hit
     kkt = make_kkt()
     kernel = MPCKernel(opts, kkt=kkt)
+
+    # Inject the KKT's device-resident symbolic index bundle as a jit
+    # ARGUMENT (prob.idx): folding the gather/scatter index arrays as
+    # host-numpy constants costs minutes of lower+compile per pattern
+    # (measured: 84 MB module / 24 s for ONE factorization walk of the
+    # grid-20k normal matrix — benchmarks/exp_compile_breakdown.py).
+    dev_idx = kkt.device_idx() if hasattr(kkt, "device_idx") else None
+
+    def wrap(fn):
+        jf = jax.jit(fn)
+        if dev_idx is None:
+            return jf
+
+        def call(prob, *args):
+            return jf(prob._replace(idx=dev_idx), *args)
+
+        return call
+
     jits = {
-        "solve": jax.jit(kernel.solve_from),
-        "iter": jax.jit(kernel.iteration),
-        "init": jax.jit(kernel.init_state),
-        "warm_solve": jax.jit(kernel.solve_from_warm),
-        "warm_init": jax.jit(kernel.init_state_warm),
+        "solve": wrap(kernel.solve_from),
+        "iter": wrap(kernel.iteration),
+        "init": wrap(kernel.init_state),
+        "warm_solve": wrap(kernel.solve_from_warm),
+        "warm_init": wrap(kernel.init_state_warm),
     }
     _KERNEL_CACHE[key] = (kkt, kernel, jits)
     while len(_KERNEL_CACHE) > _KERNEL_CACHE_SIZE:

@@ -170,71 +170,93 @@ class DeviceSparseCondensedKKT:
             self.expected_signs = SC.bucket_signs(self.symb, np.ones(n0))
             self.pivot_floor = (1e-6 if pivot_floor is None
                                 else float(pivot_floor))
+        self._device_idx = None
+
+    def host_idx(self) -> dict:
+        """Index bundle in host (numpy) form (see sparse_lp.host_idx)."""
+        return dict(
+            sym=self.symb, pair_p=self.pair_p, pair_q=self.pair_q,
+            pair_k=self.pair_k, pair_e=self.pair_e, h_sel=self.h_sel,
+            h_pos=self.h_pos, diag_pos=self.diag_pos,
+            entry_row=self.entry_row, entry_col=self.entry_col,
+            value_gather=self.value_gather, a0_rows=self.a0_rows,
+            a0_cols=self.a0_cols,
+        )
+
+    def device_idx(self) -> dict:
+        if self._device_idx is None:
+            self._device_idx = jax.device_put(self.host_idx())
+        return self._device_idx
 
     def factorize(self, prob, pr_diag, del_c):
+        ix = prob.idx if getattr(prob, "idx", None) is not None \
+            else self.host_idx()
         n0 = self.n0
         sig_x = pr_diag[:n0]
         sig_s = pr_diag[n0:]
         # D = (Σs⁻¹ − δ_c)⁻¹ = Σs / (1 − δ_c Σs); δ_c ≤ 0 keeps it positive.
         D = sig_s / (1.0 - del_c * sig_s)
         a0_vals = prob.a_vals[: self.nnz0]
-        contrib = (a0_vals[self.pair_p] * D[self.pair_k]
-                   * a0_vals[self.pair_q])
+        contrib = (a0_vals[ix["pair_p"]] * D[ix["pair_k"]]
+                   * a0_vals[ix["pair_q"]])
         c_vals = jax.ops.segment_sum(
-            contrib, self.pair_e, num_segments=self.nnz_up
+            contrib, ix["pair_e"], num_segments=self.nnz_up
         )
         if self.h_pos.size:
-            c_vals = c_vals.at[self.h_pos].add(prob.h_vals[self.h_sel])
-        c_vals = c_vals.at[self.diag_pos].add(sig_x)
+            c_vals = c_vals.at[ix["h_pos"]].add(prob.h_vals[ix["h_sel"]])
+        c_vals = c_vals.at[ix["diag_pos"]].add(sig_x)
         # Symmetric Jacobi scaling to unit diagonal (K2.5 analog).
-        c_diag = c_vals[self.diag_pos]
+        c_diag = c_vals[ix["diag_pos"]]
         scale = jax.lax.rsqrt(
             jnp.maximum(c_diag, jnp.finfo(c_diag.dtype).tiny))
-        c_vals = c_vals * scale[self.entry_row] * scale[self.entry_col]
-        c_vals = c_vals[self.value_gather]
+        c_vals = c_vals * scale[ix["entry_row"]] * scale[ix["entry_col"]]
+        c_vals = c_vals[ix["value_gather"]]
         if self.fact_dtype is not None and c_vals.dtype != self.fact_dtype:
             # Mixed precision: the MPC kernel's iterative refinement against
             # the f64 kkt_mul recovers accuracy (src/linear_solver.jl:28-43).
             c_vals = c_vals.astype(self.fact_dtype)
         if self.use_ldl:
             panels = SC.factorize_batched_ldl(
-                self.symb, c_vals, signs=self.expected_signs,
+                ix["sym"], c_vals, signs=self.expected_signs,
                 pivot_floor=self.pivot_floor, inverse=self.inverse)
         else:
-            panels = SC.factorize_batched(self.symb, c_vals,
+            panels = SC.factorize_batched(ix["sym"], c_vals,
                                           inverse=self.inverse)
         return (panels, D, sig_s, scale, prob)
 
-    def _a0_mv(self, prob, x):
+    def _a0_mv(self, prob, ix, x):
         a0_vals = prob.a_vals[: self.nnz0]
         return jax.ops.segment_sum(
-            a0_vals * x[self.a0_cols], self.a0_rows, num_segments=self.m
+            a0_vals * x[ix["a0_cols"]], ix["a0_rows"], num_segments=self.m
         )
 
-    def _a0_rmv(self, prob, y):
+    def _a0_rmv(self, prob, ix, y):
         a0_vals = prob.a_vals[: self.nnz0]
         return jax.ops.segment_sum(
-            a0_vals * y[self.a0_rows], self.a0_cols, num_segments=self.n0
+            a0_vals * y[ix["a0_rows"]], ix["a0_cols"], num_segments=self.n0
         )
 
     def solve(self, factors, rx, ry):
         panels, D, sig_s, scale, prob = factors
+        ix = prob.idx if getattr(prob, "idx", None) is not None \
+            else self.host_idx()
+        sym = ix["sym"]
         n0 = self.n0
         rx0 = rx[:n0]
         rs = rx[n0:]
         w = D * (ry + rs / sig_s)
-        rhs = (rx0 + self._a0_rmv(prob, w)) * scale
+        rhs = (rx0 + self._a0_rmv(prob, ix, w)) * scale
         out_dtype = rhs.dtype
         if self.fact_dtype is not None and rhs.dtype != self.fact_dtype:
             rhs = rhs.astype(self.fact_dtype)
         if self.use_ldl:
-            dx0 = SC.solve_batched_ldl(self.symb, panels, rhs,
+            dx0 = SC.solve_batched_ldl(sym, panels, rhs,
                                        inverse=self.inverse)
         else:
-            dx0 = SC.solve_batched(self.symb, panels, rhs,
+            dx0 = SC.solve_batched(sym, panels, rhs,
                                    inverse=self.inverse)
         dx0 = dx0.astype(out_dtype) * scale
-        dy = D * (self._a0_mv(prob, dx0) - ry - rs / sig_s)
+        dy = D * (self._a0_mv(prob, ix, dx0) - ry - rs / sig_s)
         ds = (rs + dy) / sig_s
         return jnp.concatenate([dx0, ds]), dy
 

@@ -42,6 +42,12 @@ class SparseLPProblem(NamedTuple):
     a_rows: jax.Array   # (nnz,) int32
     a_cols: jax.Array   # (nnz,) int32
     a_vals: jax.Array   # (nnz,)
+    # Device-resident symbolic index bundle (assembly pairs + supernodal
+    # schedule), injected by the jit wrappers so the index arrays are jit
+    # ARGUMENTS, not multi-MB module constants (see sparse_common /
+    # ops/sparse_chol pytree registration).  None => the KKT falls back to
+    # its host (numpy-constant) arrays.
+    idx: Optional[dict] = None
 
     @property
     def n(self) -> int:
@@ -195,8 +201,31 @@ class DeviceSparseNormalKKT:
         if self.use_ldl:
             self.expected_signs = SC.bucket_signs(self.symb, np.ones(m))
             self.pivot_floor = 1e-6
+        self._device_idx = None
+
+    def host_idx(self) -> dict:
+        """Index bundle in host (numpy) form — folded as constants when a
+        problem carries no device bundle."""
+        return dict(
+            sym=self.symb, pair_p=self.pair_p, pair_q=self.pair_q,
+            pair_k=self.pair_k, pair_e=self.pair_e,
+            diag_pos=self.diag_pos, entry_row=self.entry_row,
+            entry_col=self.entry_col, value_gather=self.value_gather,
+        )
+
+    def device_idx(self) -> Optional[dict]:
+        """Device-resident twin of host_idx(), built once; pass as a jit
+        argument (prob.idx) to keep index arrays out of the module.  Only
+        the batched mode's schedule is pytree-registered."""
+        if self.mode != "batched":
+            return None
+        if self._device_idx is None:
+            self._device_idx = jax.device_put(self.host_idx())
+        return self._device_idx
 
     def factorize(self, prob: SparseLPProblem, pr_diag, del_c):
+        ix = prob.idx if getattr(prob, "idx", None) is not None \
+            else self.host_idx()
         # W = Σ (+ diag(H) for separable QPs): stays diagonal, so the
         # normal-equations reduction is exact.  h_vals arrives through the
         # traced problem arrays (zero-length for an LP — a static shape).
@@ -207,51 +236,55 @@ class DeviceSparseNormalKKT:
             )
         D = 1.0 / pr_diag
         contrib = (
-            prob.a_vals[self.pair_p]
-            * D[self.pair_k]
-            * prob.a_vals[self.pair_q]
+            prob.a_vals[ix["pair_p"]]
+            * D[ix["pair_k"]]
+            * prob.a_vals[ix["pair_q"]]
         )
         s_vals = jax.ops.segment_sum(
-            contrib, self.pair_e, num_segments=self.nnz_up
+            contrib, ix["pair_e"], num_segments=self.nnz_up
         )
-        s_vals = s_vals.at[self.diag_pos].add(-del_c)
+        s_vals = s_vals.at[ix["diag_pos"]].add(-del_c)
         # Symmetric Jacobi scaling to unit diagonal (K2.5 analog): Ms =
         # Ds S Ds, solve via S^-1 = Ds Ms^-1 Ds.  Keeps f32 factorization
         # usable when the barrier diagonal spans ~1e+-8.
-        s_diag = s_vals[self.diag_pos]
+        s_diag = s_vals[ix["diag_pos"]]
         scale = jax.lax.rsqrt(jnp.maximum(s_diag, jnp.finfo(s_diag.dtype).tiny))
-        s_vals = s_vals * scale[self.entry_row] * scale[self.entry_col]
-        s_vals = s_vals[self.value_gather]
+        s_vals = s_vals * scale[ix["entry_row"]] * scale[ix["entry_col"]]
+        s_vals = s_vals[ix["value_gather"]]
         if self.fact_dtype is not None and s_vals.dtype != self.fact_dtype:
             # Mixed precision (see sparse_qp): f32 factorization; the MPC
             # kernel's iterative refinement recovers f64.
             s_vals = s_vals.astype(self.fact_dtype)
+        sym = ix["sym"]
         if self.use_ldl:
             panels = SC.factorize_batched_ldl(
-                self.symb, s_vals, signs=self.expected_signs,
+                sym, s_vals, signs=self.expected_signs,
                 pivot_floor=self.pivot_floor, inverse=self.inverse)
         elif self.mode == "batched":
-            panels = SC.factorize_batched(self.symb, s_vals,
+            panels = SC.factorize_batched(sym, s_vals,
                                           inverse=self.inverse)
         else:
-            panels = SC.factorize(self.symb, s_vals)
+            panels = SC.factorize(sym, s_vals)
         return (panels, D, scale, prob)
 
     def solve(self, factors, rx, ry):
         panels, D, scale, prob = factors
+        ix = prob.idx if getattr(prob, "idx", None) is not None \
+            else self.host_idx()
+        sym = ix["sym"]
         r1 = rx * D
         r2 = (prob.jac_mv(r1) - ry) * scale
         out_dtype = r2.dtype
         if self.fact_dtype is not None and r2.dtype != self.fact_dtype:
             r2 = r2.astype(self.fact_dtype)
         if self.use_ldl:
-            dy = SC.solve_batched_ldl(self.symb, panels, r2,
+            dy = SC.solve_batched_ldl(sym, panels, r2,
                                       inverse=self.inverse)
         elif self.mode == "batched":
-            dy = SC.solve_batched(self.symb, panels, r2,
+            dy = SC.solve_batched(sym, panels, r2,
                                   inverse=self.inverse)
         else:
-            dy = SC.solve(self.symb, panels, r2)
+            dy = SC.solve(sym, panels, r2)
         dy = dy.astype(out_dtype) * scale
         dx = (rx - prob.jac_rmv(dy)) * D
         return dx, dy

@@ -51,6 +51,9 @@ class SparseQPProblem(NamedTuple):
     h_rows: jax.Array   # (nnz_h,) int32 — full symmetric
     h_cols: jax.Array   # (nnz_h,) int32
     h_vals: jax.Array   # (nnz_h,)
+    # Device-resident symbolic index bundle (see SparseLPProblem.idx):
+    # injected by the jit wrappers; None => host numpy constants.
+    idx: Optional[dict] = None
 
     @property
     def n(self) -> int:
@@ -196,20 +199,38 @@ class DeviceSparseAugmentedKKT:
         self.value_gather = gmap
         signs = np.concatenate([np.ones(n), -np.ones(m)])
         self.expected_signs = SC.bucket_signs(self.bs, signs)
+        self._device_idx = None
+
+    def host_idx(self) -> dict:
+        """Index bundle in host (numpy) form (see sparse_lp.host_idx)."""
+        return dict(
+            sym=self.bs, h_sel=self.h_sel, h_pos=self.h_pos,
+            a_pos=self.a_pos, wdiag_pos=self.wdiag_pos,
+            ddiag_pos=self.ddiag_pos, alldiag_pos=self.alldiag_pos,
+            entry_row=self.entry_row, entry_col=self.entry_col,
+            value_gather=self.value_gather,
+        )
+
+    def device_idx(self) -> dict:
+        if self._device_idx is None:
+            self._device_idx = jax.device_put(self.host_idx())
+        return self._device_idx
 
     def factorize(self, prob: SparseQPProblem, pr_diag, del_c):
+        ix = prob.idx if getattr(prob, "idx", None) is not None \
+            else self.host_idx()
         kv = jnp.zeros(self.nnz_up, pr_diag.dtype)
         if self.h_pos.size:
-            kv = kv.at[self.h_pos].add(prob.h_vals[self.h_sel])
-        kv = kv.at[self.a_pos].add(prob.a_vals)
-        kv = kv.at[self.wdiag_pos].add(pr_diag)
-        kv = kv.at[self.ddiag_pos].add(del_c)
+            kv = kv.at[ix["h_pos"]].add(prob.h_vals[ix["h_sel"]])
+        kv = kv.at[ix["a_pos"]].add(prob.a_vals)
+        kv = kv.at[ix["wdiag_pos"]].add(pr_diag)
+        kv = kv.at[ix["ddiag_pos"]].add(del_c)
         # K2.5 symmetric scaling: Ks = Ds K Ds with Ds = |diag(K)|^-1/2;
         # quasi-definiteness and pivot signs are preserved.
-        kdiag = jnp.abs(kv[self.alldiag_pos])
+        kdiag = jnp.abs(kv[ix["alldiag_pos"]])
         scale = jax.lax.rsqrt(jnp.maximum(kdiag, jnp.finfo(kv.dtype).tiny))
-        kv = kv * scale[self.entry_row] * scale[self.entry_col]
-        kv = kv[self.value_gather]
+        kv = kv * scale[ix["entry_row"]] * scale[ix["entry_col"]]
+        kv = kv[ix["value_gather"]]
         if self.fact_dtype is not None and kv.dtype != self.fact_dtype:
             # Mixed precision: factorize in fact_dtype; the MPC kernel's
             # iterative refinement (max_refine_steps) recovers f64 accuracy
@@ -217,22 +238,23 @@ class DeviceSparseAugmentedKKT:
             # src/linear_solver.jl:28-43).
             kv = kv.astype(self.fact_dtype)
         return (SC.factorize_batched_ldl(
-            self.bs, kv, signs=self.expected_signs,
-            pivot_floor=self.pivot_floor, inverse=self.inverse), scale)
+            ix["sym"], kv, signs=self.expected_signs,
+            pivot_floor=self.pivot_floor, inverse=self.inverse),
+            scale, ix["sym"])
 
     def solve(self, factors, rx, ry):
-        ldl, scale = factors
+        ldl, scale, sym = factors
         rhs = jnp.concatenate([rx, ry]) * scale
         out_dtype = rhs.dtype
         if self.fact_dtype is not None and rhs.dtype != self.fact_dtype:
             rhs = rhs.astype(self.fact_dtype)
         sol = SC.solve_batched_ldl(
-            self.bs, ldl, rhs, inverse=self.inverse).astype(out_dtype)
+            sym, ldl, rhs, inverse=self.inverse).astype(out_dtype)
         sol = sol * scale
         return sol[: self.n], sol[self.n:]
 
     def factor_ok(self, factors):
-        ldl, _scale = factors
+        ldl, _scale, _sym = factors
         return SC.factor_ok_batched_ldl(ldl, self.expected_signs)
 
 
