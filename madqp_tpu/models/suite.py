@@ -259,27 +259,318 @@ def fixed_vars_lp(n: int = 40, seed: int = 3) -> QuadraticProblem:
     )
 
 
-_SMALL = dict(transport=(6, 8), multicomm=(6, 2), staircase=(8, 4),
-              blending=(12, 4), portfolio=(24, 3), svm=(30, 8), fixed=(20,))
-_MEDIUM = dict(transport=(12, 15), multicomm=(10, 3), staircase=(20, 8),
-               blending=(30, 8), portfolio=(60, 6), svm=(80, 15), fixed=(40,))
-_LARGE = dict(transport=(40, 50), multicomm=(25, 5), staircase=(80, 20),
-              blending=(120, 20), portfolio=(200, 12), svm=(300, 40),
-              fixed=(150,))
+def assignment_lp(n: int = 20, seed: int = 0) -> QuadraticProblem:
+    """n x n assignment LP relaxation: doubly-stochastic polytope.  Every
+    basic solution is maximally degenerate (2n-1 basic vars, n nonzero) —
+    the hardest classic stress for step rules and ratio-test ties."""
+    rng = np.random.default_rng(seed)
+    cost = rng.uniform(1.0, 10.0, (n, n))
+    nn = n * n
+    rows, cols = [], []
+    for i in range(n):
+        for j in range(n):
+            k = i * n + j
+            rows += [i, n + j]
+            cols += [k, k]
+    A = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
+                      shape=(2 * n, nn)).tocsr()
+    b = np.ones(2 * n)
+    return QuadraticProblem(
+        c=cost.ravel(), A=A, lcon=b, ucon=b,
+        lvar=np.zeros(nn), uvar=np.full(nn, np.inf),
+        name=f"assignment_{n}_{seed}",
+    )
 
-_MAKERS = dict(transport=transport_lp, multicomm=multicommodity_lp,
-               staircase=staircase_lp, blending=blending_lp,
-               portfolio=portfolio_qp, svm=svm_qp, fixed=fixed_vars_lp)
+
+def setcover_lp(nsets: int = 120, nelem: int = 60,
+                seed: int = 0) -> QuadraticProblem:
+    """Set-covering LP relaxation: binary A, Ax >= 1, 0 <= x <= 1 —
+    dense-ish columns and massive dual degeneracy (MIPLIB-relaxation
+    axis, scripts/benchmarks_gpu.jl:79-81)."""
+    rng = np.random.default_rng(seed)
+    A = (rng.random((nelem, nsets)) < max(0.05, 3.0 / nsets)).astype(float)
+    A[np.arange(nelem), rng.integers(0, nsets, nelem)] = 1.0  # coverable
+    return QuadraticProblem(
+        c=rng.uniform(1.0, 5.0, nsets), A=sp.csr_matrix(A),
+        lcon=np.ones(nelem), ucon=np.full(nelem, np.inf),
+        lvar=np.zeros(nsets), uvar=np.ones(nsets),
+        name=f"setcover_{nsets}_{seed}",
+    )
+
+
+def diet_lp(nfood: int = 80, nnutr: int = 20, seed: int = 0) -> QuadraticProblem:
+    """Stigler-diet-style LP with PATHOLOGICAL coefficient scaling: nutrient
+    contents span 1e-4..1e+4 (mg vs kcal units) — the Ruiz-equilibration
+    stress axis (reference scale_qp, scripts/common.jl:57-100)."""
+    rng = np.random.default_rng(seed)
+    mag = 10.0 ** rng.uniform(-4, 4, nnutr)
+    A = rng.uniform(0.1, 1.0, (nnutr, nfood)) * mag[:, None]
+    A *= rng.random((nnutr, nfood)) < 0.4
+    u = rng.uniform(1.0, 4.0, nfood)
+    req = 0.25 * (A @ u)  # satisfiable with room
+    return QuadraticProblem(
+        c=rng.uniform(0.5, 5.0, nfood) * 10.0 ** rng.uniform(-2, 2, nfood),
+        A=sp.csr_matrix(A), lcon=req, ucon=np.full(nnutr, np.inf),
+        lvar=np.zeros(nfood), uvar=u, name=f"diet_{nfood}_{seed}",
+    )
+
+
+def illscaled_lp(n: int = 100, seed: int = 0) -> QuadraticProblem:
+    """Feasible sparse LP with row AND column scales drawn from 1e±6 —
+    beyond diet_lp's one-sided row scaling; both equilibration directions
+    must act for the IPM to survive at tol=1e-8."""
+    rng = np.random.default_rng(seed)
+    m = n // 2
+    dens = min(0.2, 10.0 / n)
+    A0 = sp.random(m, n, density=dens, random_state=np.random.RandomState(seed),
+                   data_rvs=lambda k: rng.uniform(0.5, 2.0, k)).tocsr()
+    A0 = A0 + sp.hstack([sp.eye(m), sp.csr_matrix((m, n - m))])  # full rank
+    dr = 10.0 ** rng.uniform(-6, 6, m)
+    dc = 10.0 ** rng.uniform(-6, 6, n)
+    A = sp.diags(dr) @ A0 @ sp.diags(dc)
+    x_feas = rng.uniform(0.5, 1.5, n) / dc
+    b = np.asarray(A @ x_feas).ravel()
+    return QuadraticProblem(
+        c=rng.uniform(0.5, 2.0, n) * dc, A=sp.csr_matrix(A), lcon=b, ucon=b,
+        lvar=np.zeros(n), uvar=np.full(n, np.inf),
+        name=f"illscaled_{n}_{seed}",
+    )
+
+
+def redundant_lp(n: int = 80, seed: int = 0) -> QuadraticProblem:
+    """LP with duplicated and linearly-dependent equality rows — rank
+    deficiency the regularization (and presolve's duplicate-row pass)
+    must absorb."""
+    rng = np.random.default_rng(seed)
+    m = n // 4
+    A0 = sp.random(m, n, density=min(0.3, 8.0 / n),
+                   random_state=np.random.RandomState(seed + 1),
+                   data_rvs=lambda k: rng.uniform(0.5, 2.0, k)).tolil()
+    A0[:, :m] += sp.eye(m)
+    A0 = A0.tocsr()
+    # duplicates + a dependent row (sum of first two)
+    Adup = sp.vstack([A0, A0[: max(1, m // 4)], A0[0] + A0[1]]).tocsr()
+    x_feas = rng.uniform(0.5, 1.5, n)
+    b = np.asarray(Adup @ x_feas).ravel()
+    return QuadraticProblem(
+        c=rng.uniform(0.5, 2.0, n), A=Adup, lcon=b, ucon=b,
+        lvar=np.zeros(n), uvar=np.full(n, np.inf),
+        name=f"redundant_{n}_{seed}",
+    )
+
+
+def ranges_lp(n: int = 100, band: int = 4, seed: int = 0) -> QuadraticProblem:
+    """Banded LP where EVERY row is a two-sided RANGES row with a feasible
+    interior — the pure range-constraint axis at scale."""
+    rng = np.random.default_rng(seed)
+    m = n // 2
+    rows, cols, vals = [], [], []
+    for i in range(m):
+        for k in range(band):
+            j = (2 * i + k) % n
+            rows.append(i)
+            cols.append(j)
+            vals.append(float(rng.uniform(0.5, 2.0)))
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    x_feas = rng.uniform(0.5, 1.5, n)
+    mid = np.asarray(A @ x_feas).ravel()
+    w = rng.uniform(0.5, 2.0, m)
+    return QuadraticProblem(
+        c=rng.uniform(-1.0, 2.0, n), A=A, lcon=mid - w, ucon=mid + w,
+        lvar=np.zeros(n), uvar=np.full(n, 3.0),
+        name=f"ranges_{n}_{seed}",
+    )
+
+
+def chain_qp(n: int = 1000, seed: int = 0) -> QuadraticProblem:
+    """Maros-Mészáros CHAIN/CONT-style QP: tridiagonal (NON-diagonal) SPD
+    Hessian, banded equality rows, box bounds — the sparse-H QP axis that
+    forces the augmented/condensed KKT paths (the normal-equations
+    reduction does not apply)."""
+    rng = np.random.default_rng(seed)
+    main = np.full(n, 2.0) + rng.uniform(0.0, 0.5, n)
+    off = np.full(n - 1, -1.0)
+    H = sp.diags([off, main, off], (-1, 0, 1), format="csr")
+    m = n // 4
+    rows, cols, vals = [], [], []
+    for i in range(m):
+        for k in range(3):
+            rows.append(i)
+            cols.append(min(4 * i + k, n - 1))
+            vals.append(1.0 + 0.1 * k)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    x_feas = rng.uniform(0.2, 0.8, n)
+    b = np.asarray(A @ x_feas).ravel()
+    return QuadraticProblem(
+        c=rng.standard_normal(n), H=H, A=A, lcon=b, ucon=b,
+        lvar=np.full(n, -1.0), uvar=np.ones(n),
+        name=f"chainqp_{n}_{seed}",
+    )
+
+
+def laplacian_qp(g: int = 30, seed: int = 0) -> QuadraticProblem:
+    """CONT-style grid QP: H = 5-point Laplacian + I on a g x g grid
+    (sparse non-diagonal SPD at scale), box bounds, a handful of coupling
+    equality rows."""
+    rng = np.random.default_rng(seed)
+    n = g * g
+    e = np.ones(n)
+    idx = np.arange(n)
+    diags = [4.0 * e + 1.0]
+    offs = [0]
+    right = ((idx % g) != g - 1)[:-1]
+    diags += [-1.0 * right, -1.0 * right]
+    offs += [1, -1]
+    diags += [-e[:-g], -e[:-g]]
+    offs += [g, -g]
+    H = sp.diags(diags, offs, shape=(n, n), format="csr")
+    m = max(2, g // 4)
+    A = sp.csr_matrix(
+        (np.ones(m * g), (np.repeat(np.arange(m), g),
+                          rng.choice(n, m * g, replace=False))),
+        shape=(m, n),
+    )
+    x_feas = rng.uniform(0.2, 0.8, n)
+    b = np.asarray(A @ x_feas).ravel()
+    return QuadraticProblem(
+        c=rng.standard_normal(n), H=H, A=A, lcon=b, ucon=b,
+        lvar=np.zeros(n), uvar=np.ones(n),
+        name=f"laplqp_{g}_{seed}",
+    )
+
+
+def cvxqp_like(n: int = 1000, seed: int = 0) -> QuadraticProblem:
+    """Maros-Mészáros CVXQP-style: H = B'B + I with B banded random
+    (pentadiagonal H), sparse equality rows m = n/2, box bounds."""
+    rng = np.random.default_rng(seed)
+    off1 = rng.uniform(-1.0, 1.0, n - 1)
+    off2 = rng.uniform(-1.0, 1.0, n - 2)
+    B = sp.diags([off2, off1, np.ones(n)], (-2, -1, 0), format="csc")
+    H = (B.T @ B + sp.eye(n)).tocsr()
+    m = n // 2
+    rows = np.repeat(np.arange(m), 3)
+    cols = np.minimum(np.add.outer(2 * np.arange(m), [0, 1, 2]).ravel(), n - 1)
+    A = sp.coo_matrix((rng.uniform(0.5, 1.5, 3 * m), (rows, cols)),
+                      shape=(m, n)).tocsr()
+    x_feas = rng.uniform(0.2, 0.8, n)
+    b = np.asarray(A @ x_feas).ravel()
+    return QuadraticProblem(
+        c=rng.standard_normal(n), H=H, A=A, lcon=b, ucon=b,
+        lvar=np.full(n, -2.0), uvar=np.full(n, 2.0),
+        name=f"cvxqp_{n}_{seed}",
+    )
+
+
+def lasso_qp(n: int = 500, seed: int = 0) -> QuadraticProblem:
+    """Bound-constrained 1D deblurring: min ½‖Dx − y‖² with D the
+    first-difference operator (tridiagonal H = D'D + εI), one-sided
+    bounds only (x ≥ 0) — the bounds-only-QP axis at scale."""
+    rng = np.random.default_rng(seed)
+    D = sp.diags([-np.ones(n - 1), np.ones(n)], (-1, 0),
+                 shape=(n, n), format="csc")
+    H = (D.T @ D + 1e-3 * sp.eye(n)).tocsr()
+    y = rng.standard_normal(n)
+    c = -np.asarray(D.T @ y).ravel()
+    return QuadraticProblem(
+        c=c, H=H, A=sp.csr_matrix((0, n)),
+        lcon=np.zeros(0), ucon=np.zeros(0),
+        lvar=np.zeros(n), uvar=np.full(n, np.inf),
+        name=f"lasso_{n}_{seed}",
+    )
+
+
+def _grid_flow(g: int = 20, seed: int = 0) -> QuadraticProblem:
+    from .generators import grid_lp
+
+    qp = grid_lp(g=g, seed=seed)
+    import dataclasses
+
+    return dataclasses.replace(qp, name=f"gridlp_{g}_{seed}")
+
+
+def _banded(n: int = 2000, seed: int = 0) -> QuadraticProblem:
+    from .generators import banded_sparse_lp
+
+    qp = banded_sparse_lp(n=n, m=n // 2, band=5, seed=seed)
+    import dataclasses
+
+    return dataclasses.replace(qp, name=f"bandedlp_{n}_{seed}")
+
+
+# family -> per-tier positional args (seed passed separately)
+_DIMS: Dict[str, Dict[str, tuple]] = {
+    # LP families
+    "transport": dict(small=(6, 8), medium=(12, 15), large=(40, 50),
+                      xlarge=(100, 125)),
+    "multicomm": dict(small=(6, 2), medium=(10, 3), large=(25, 5),
+                      xlarge=(60, 8)),
+    "staircase": dict(small=(8, 4), medium=(20, 8), large=(80, 20),
+                      xlarge=(2000, 24)),
+    "blending": dict(small=(12, 4), medium=(30, 8), large=(120, 20),
+                     xlarge=(400, 40)),
+    "fixed": dict(small=(20,), medium=(40,), large=(150,), xlarge=(2000,)),
+    "assignment": dict(small=(6,), medium=(15,), large=(40,), xlarge=(120,)),
+    "setcover": dict(small=(30, 15), medium=(120, 60), large=(400, 200),
+                     xlarge=(2000, 1000)),
+    "diet": dict(small=(20, 8), medium=(80, 20), large=(300, 60),
+                 xlarge=(2000, 200)),
+    "illscaled": dict(small=(30,), medium=(100,), large=(500,),
+                      xlarge=(5000,)),
+    "redundant": dict(small=(24,), medium=(80,), large=(400,),
+                      xlarge=(4000,)),
+    "ranges": dict(small=(30,), medium=(100,), large=(600,),
+                   xlarge=(10000,)),
+    "gridlp": dict(small=(6,), medium=(14,), large=(32,), xlarge=(100,)),
+    "bandedlp": dict(small=(120,), medium=(600,), large=(4000,),
+                     xlarge=(30000,)),
+    # QP families
+    "portfolio": dict(small=(24, 3), medium=(60, 6), large=(200, 12),
+                      xlarge=(800, 30)),
+    "svm": dict(small=(30, 8), medium=(80, 15), large=(300, 40),
+                xlarge=(3000, 200)),
+    "chainqp": dict(small=(40,), medium=(200,), large=(2000,),
+                    xlarge=(50000,)),
+    "laplqp": dict(small=(6,), medium=(14,), large=(40,), xlarge=(150,)),
+    "cvxqp": dict(small=(40,), medium=(200,), large=(2000,),
+                  xlarge=(20000,)),
+    "lasso": dict(small=(40,), medium=(200,), large=(2000,),
+                  xlarge=(50000,)),
+}
+
+_MAKERS = dict(
+    transport=transport_lp, multicomm=multicommodity_lp,
+    staircase=staircase_lp, blending=blending_lp, portfolio=portfolio_qp,
+    svm=svm_qp, fixed=fixed_vars_lp, assignment=assignment_lp,
+    setcover=setcover_lp, diet=diet_lp, illscaled=illscaled_lp,
+    redundant=redundant_lp, ranges=ranges_lp, gridlp=_grid_flow,
+    bandedlp=_banded, chainqp=chain_qp, laplqp=laplacian_qp,
+    cvxqp=cvxqp_like, lasso=lasso_qp,
+)
+
+# Backward-compatible tier views (older callers/tests import these).
+_SMALL = {k: v["small"] for k, v in _DIMS.items()}
+_MEDIUM = {k: v["medium"] for k, v in _DIMS.items()}
+_LARGE = {k: v["large"] for k, v in _DIMS.items()}
+_XLARGE = {k: v["xlarge"] for k, v in _DIMS.items()}
 
 
 def structured_suite(size: str = "medium",
-                     seeds: Tuple[int, ...] = (0, 1)) -> Iterator[Tuple[str, QuadraticProblem]]:
-    """Yield (name, problem) across all structured families."""
-    dims = {"small": _SMALL, "medium": _MEDIUM, "large": _LARGE}[size]
+                     seeds: Tuple[int, ...] = (0, 1),
+                     families: Tuple[str, ...] = (),
+                     ) -> Iterator[Tuple[str, QuadraticProblem]]:
+    """Yield (name, problem) across all structured families.
+
+    Tiers: small | medium | large | xlarge — xlarge reaches Netlib/MM-scale
+    dimensions (up to 5·10⁴ variables, sparse non-diagonal Hessians,
+    pathological scaling and degeneracy).  `families` optionally restricts
+    to a subset (names from _MAKERS)."""
+    dims = {"small": _SMALL, "medium": _MEDIUM, "large": _LARGE,
+            "xlarge": _XLARGE}[size]
     for kind, maker in _MAKERS.items():
+        if families and kind not in families:
+            continue
         for seed in seeds:
-            args = dims[kind]
-            qp = maker(*args, seed=seed) if kind != "fixed" else maker(args[0], seed=seed)
+            qp = maker(*dims[kind], seed=seed)
             yield qp.name, qp
 
 
