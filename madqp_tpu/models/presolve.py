@@ -111,6 +111,39 @@ class _FreeColSingleton:
 
 
 @dataclasses.dataclass
+class _ForcingRow:
+    """Row i whose activity bound Lmin (resp. Umax) equals its ucon (resp.
+    lcon): every entry's variable is forced to the bound achieving the
+    extreme and the row is dropped.  Postsolve recovers y_i as the smallest
+    sign-safe multiplier making all the forced columns' reduced costs
+    complementarity-consistent (Andersen & Andersen's forcing-row dual
+    recovery): with residual r_j and coefficient a_ij, every forced column
+    requires t >= -r_j/a_ij (low case) / t <= -r_j/a_ij (high case)."""
+
+    row: int
+    cols: np.ndarray
+    coefs: np.ndarray
+    low: bool  # True: activity pinned at its MINIMUM == ucon
+
+
+@dataclasses.dataclass
+class _MergeDupCol:
+    """Column drop == alpha * column keep (alpha > 0) with c_drop == alpha *
+    c_keep and no Hessian coupling: merged into keep with summed bounds
+    w = x_keep + alpha * x_drop.  Postsolve splits greedily (x_drop at its
+    lower bound first) which is complementarity-consistent; bound duals of
+    the dropped column come from the phase-3 stationarity residual."""
+
+    drop: int
+    keep: int
+    alpha: float
+    l_drop: float
+    u_drop: float
+    l_keep: float   # keep's bounds at merge time (pre-merge)
+    u_keep: float
+
+
+@dataclasses.dataclass
 class _MergeDupRow:
     """Row `drop` == alpha * row `keep` (in the live submatrix at merge
     time) merged into `keep` by intersecting transformed bounds.  Postsolve
@@ -147,6 +180,22 @@ class PresolveInfo:
                 x[op.cols] = op.vals
             elif isinstance(op, _FreeColSingleton):
                 x[op.col] = (op.b - op.row_vals @ x[op.row_cols]) / op.coef
+            elif isinstance(op, _MergeDupCol):
+                # split w = x_keep + alpha x_drop: anchor x_drop at a finite
+                # bound and let x_keep absorb the rest (clipped), which is
+                # complementarity-consistent with the phase-3 residual
+                # duals; a doubly-free drop column takes the remainder.
+                w = x[op.keep]
+                if np.isfinite(op.l_drop):
+                    xk = np.clip(w - op.alpha * op.l_drop,
+                                 op.l_keep, op.u_keep)
+                elif np.isfinite(op.u_drop):
+                    xk = np.clip(w - op.alpha * op.u_drop,
+                                 op.l_keep, op.u_keep)
+                else:
+                    xk = np.clip(w, op.l_keep, op.u_keep)
+                x[op.keep] = xk
+                x[op.drop] = (w - xk) / op.alpha
         return x
 
     # -- duals ---------------------------------------------------------------
@@ -200,65 +249,76 @@ class PresolveInfo:
 
         Ar = qp.A.tocsr()
 
-        # phase 1: local transfers (no residuals needed)
+        def _row_slack(i: int, act: float) -> float:
+            lo = qp.lcon[i] if np.isfinite(qp.lcon[i]) else -np.inf
+            hi = qp.ucon[i] if np.isfinite(qp.ucon[i]) else np.inf
+            return float(min(act - lo, hi - act))
+
+        def _assign_from_residual(j: int) -> None:
+            if zl[j] == 0.0 and zu[j] == 0.0:
+                r = residual(j)
+                if r >= 0.0:
+                    zl[j] = r
+                else:
+                    zu[j] = -r
+
+        # Single REVERSE-chronological pass: every op recovers its own
+        # duals from residuals computed with all LATER-eliminated rows' /
+        # columns' duals already final (eliminations only reference
+        # structure that was alive at their time, so reverse order is the
+        # triangular order).  A phase-batched recovery breaks once ops
+        # interact — e.g. a forcing row whose multiplier depends on an
+        # inequality-singleton transfer of a column fixed two passes later.
         for op in reversed(self.ops):
-            if isinstance(op, _FreeColSingleton):
+            if isinstance(op, _FixGroup):
+                for j in op.cols:
+                    _assign_from_residual(j)
+            elif isinstance(op, _MergeDupCol):
+                _assign_from_residual(op.drop)
+            elif isinstance(op, _FreeColSingleton):
                 y[op.row] = -op.cj / op.coef
             elif isinstance(op, _DropIneqSingletonRow):
                 j, a = op.col, op.coef
-                # move the bound multiplier onto the row iff the implied
-                # bound is strictly tighter than the variable's own
+                # the column's dual (from the reduced solution, or assigned
+                # by a later-recovered fix) moves onto the row iff the
+                # implied bound is the strictly tighter one
                 if op.new_lvar > op.old_lvar and zl[j] > 0.0:
                     y[op.row] = -zl[j] / a
                     zl[j] = 0.0
                 elif op.new_uvar < op.old_uvar and zu[j] > 0.0:
                     y[op.row] = zu[j] / a
                     zu[j] = 0.0
-
-        # phase 2: equality-singleton row duals, latest elimination first
-        # (triangular: column j's residual may involve duals of rows dropped
-        # LATER, which are already set by the time we reach this op)
-        for op in reversed(self.ops):
-            if isinstance(op, _DropEqSingletonRow):
+            elif isinstance(op, _DropEqSingletonRow):
                 zl[op.col] = zu[op.col] = 0.0
                 y[op.row] = -residual(op.col) / op.coef
-
-        # phase 2.5: duplicate-row multiplier transfers — after eq-singleton
-        # recovery so a merged-then-dropped keep row already carries its
-        # dual.  Transfer iff the dropped row is the (strictly) tighter one
-        # at the solution, measured against ORIGINAL bounds.
-        def _row_slack(i: int, act: float) -> float:
-            lo = qp.lcon[i] if np.isfinite(qp.lcon[i]) else -np.inf
-            hi = qp.ucon[i] if np.isfinite(qp.ucon[i]) else np.inf
-            return float(min(act - lo, hi - act))
-
-        for op in reversed(self.ops):
-            if isinstance(op, _MergeDupRow):
+            elif isinstance(op, _MergeDupRow):
+                # transfer iff the dropped row is the (strictly) tighter
+                # one at the solution, measured against ORIGINAL bounds
                 yk = y[op.keep]
                 if yk == 0.0:
                     continue
                 act_k = float(np.asarray(Ar[op.keep] @ x).ravel()[0])
                 act_d = float(np.asarray(Ar[op.drop] @ x).ravel()[0])
-                s_k = _row_slack(op.keep, act_k)
-                s_d = _row_slack(op.drop, act_d)
                 tol_s = 1e-12 * max(1.0, abs(act_k), abs(act_d))
-                if s_d < s_k - tol_s:
+                if _row_slack(op.drop, act_d) < _row_slack(op.keep, act_k) - tol_s:
                     # rows agree on all columns alive at merge time:
                     # y_drop * (alpha * a_keep'x) == y_keep * a_keep'x
                     y[op.drop] = yk / op.alpha
                     y[op.keep] = 0.0
-
-        # phase 3: bound duals of substituted-out columns from the final
-        # stationarity residual
-        for op in self.ops:
-            if isinstance(op, _FixGroup):
+            elif isinstance(op, _ForcingRow):
+                # smallest sign-safe multiplier satisfying every forced
+                # column's complementarity constraint, then reassign the
+                # columns' bound duals from the updated residuals
                 for j in op.cols:
-                    if zl[j] == 0.0 and zu[j] == 0.0:
-                        r = residual(j)
-                        if r >= 0.0:
-                            zl[j] = r
-                        else:
-                            zu[j] = -r
+                    zl[int(j)] = zu[int(j)] = 0.0
+                ratios = [-residual(int(j)) / a
+                          for j, a in zip(op.cols, op.coefs)]
+                t = max(0.0, max(ratios)) if op.low \
+                    else min(0.0, min(ratios))
+                if t != 0.0:
+                    y[op.row] = t
+                for j in op.cols:
+                    _assign_from_residual(int(j))
         if not qp.minimize:
             y, zl, zu = -y, -zl, -zu
         return x, y, zl, zu
@@ -392,6 +452,62 @@ def presolve_qp(
             if np.any(np.isfinite(uc) & (Lmin > uc + ttol_u)) or np.any(
                     np.isfinite(lc) & (Umax < lc - ttol_l)):
                 return _fail(qp, PresolveStatus.INFEASIBLE)
+
+            # ---- forcing rows: activity bound EQUALS a constraint bound --
+            # Lmin == ucon pins the row at its minimum activity: every
+            # entry's variable sits at the bound achieving the minimum
+            # (a>0 -> lower, a<0 -> upper); mirrored for Umax == lcon.
+            with np.errstate(invalid="ignore"):  # inf - inf in masked lanes
+                forced_low = np.isfinite(uc) & (Lmin >= uc - ttol_u)
+                forced_high = np.isfinite(lc) & (Umax <= lc + ttol_l)
+            f_fix_cols: List[int] = []
+            f_fix_vals: List[float] = []
+            f_claimed: set = set()
+            for rloc in np.where((forced_low | forced_high)
+                                 & (row_nnz > 0))[0]:
+                i = live_r[rloc]
+                s, e = Asub.indptr[rloc], Asub.indptr[rloc + 1]
+                jlocs = Asub.indices[s:e]
+                coefs = Asub.data[s:e]
+                cols_g = live_c[jlocs]
+                if any(j in f_claimed for j in cols_g):
+                    continue  # overlapping forcing rows: one per pass
+                low = bool(forced_low[rloc])
+                at_min = (coefs > 0) == low  # variable sits at LOWER bound
+                vals_g = np.where(at_min, lvar[cols_g], uvar[cols_g])
+                if not np.all(np.isfinite(vals_g)):
+                    continue  # infinite activity bound can't equal finite rhs
+                ops.append(_ForcingRow(i, cols_g.copy(), coefs.copy(), low))
+                alive_row[i] = False
+                f_fix_cols.extend(int(j) for j in cols_g)
+                f_fix_vals.extend(float(v) for v in vals_g)
+                f_claimed.update(int(j) for j in cols_g)
+                changed = True
+            if f_fix_cols:
+                eliminate_fixed(np.asarray(f_fix_cols, dtype=int),
+                                np.asarray(f_fix_vals))
+                live_r = np.where(alive_row)[0]
+                live_c = np.where(alive_col)[0]
+                Asub = sub(A_rows).tocsr()
+                row_nnz = np.diff(Asub.indptr)
+                lv, uv = lvar[live_c], uvar[live_c]
+                lc, uc = lcon[live_r], ucon[live_r]
+                if row_nnz.sum() > 0:
+                    dat, idx = Asub.data, Asub.indices
+                    lo_t = np.where(dat > 0, dat * lv[idx], dat * uv[idx])
+                    hi_t = np.where(dat > 0, dat * uv[idx], dat * lv[idx])
+                    zero = dat == 0.0
+                    lo_t[zero] = 0.0
+                    hi_t[zero] = 0.0
+                    rows_exp = np.repeat(np.arange(live_r.size), row_nnz)
+                    Lmin = np.bincount(rows_exp, weights=lo_t,
+                                       minlength=live_r.size)
+                    Umax = np.bincount(rows_exp, weights=hi_t,
+                                       minlength=live_r.size)
+                else:
+                    Lmin = np.zeros(live_r.size)
+                    Umax = np.zeros(live_r.size)
+
             redundant = ((~np.isfinite(lc) | (Lmin >= lc))
                          & (~np.isfinite(uc) | (Umax <= uc))
                          & (row_nnz > 0))
@@ -581,6 +697,87 @@ def presolve_qp(
             ec_val.append(float(v))
         if ec_fix:
             eliminate_fixed(np.asarray(ec_fix, dtype=int), np.asarray(ec_val))
+            changed = True
+
+        # ---- parallel (duplicate / dominated) columns ----------------------
+        # For LP-pure columns (no Hessian entries) with A[:,j] == alpha *
+        # A[:,k], alpha != 0: shifting (x_j += d, x_k -= alpha d) keeps Ax
+        # fixed and changes the objective by (c_j - alpha c_k) d, so
+        #   c_j > alpha c_k  and x_k unbounded in the compensating
+        #     direction  =>  x_j is DOMINATED: fix at lvar (or UNBOUNDED if
+        #     lvar = -inf); mirrored for c_j < alpha c_k;
+        #   c_j == alpha c_k (alpha > 0)  =>  DUPLICATE: merge into x_k
+        #     with summed bounds (QuadraticModels-presolve parity).
+        live_c = np.where(alive_col)[0]
+        live_r = np.where(alive_row)[0]
+        Acsc = sub(A).tocsc()
+        Acsc.sort_indices()
+        col_nnz = np.diff(Acsc.indptr)
+        groups_c: dict = {}
+        for jloc in np.where(col_nnz > 0)[0]:
+            j = live_c[jloc]
+            if h_col_nnz[j] != 0:
+                continue
+            s, e = Acsc.indptr[jloc], Acsc.indptr[jloc + 1]
+            vals_c = Acsc.data[s:e]
+            pivot = vals_c[np.argmax(np.abs(vals_c))]
+            if abs(pivot) < 1e-14:
+                continue
+            key = (Acsc.indices[s:e].tobytes(),
+                   np.round(vals_c / pivot, 12).tobytes())
+            groups_c.setdefault(key, []).append(jloc)
+        dom_fix_cols: List[int] = []
+        dom_fix_vals: List[float] = []
+        for jlocs in groups_c.values():
+            if len(jlocs) < 2:
+                continue
+            kloc = jlocs[0]
+            k = live_c[kloc]
+            sk, ek = Acsc.indptr[kloc], Acsc.indptr[kloc + 1]
+            vk = Acsc.data[sk:ek]
+            pk = vk[np.argmax(np.abs(vk))]
+            for jloc in jlocs[1:]:
+                j = live_c[jloc]
+                if not alive_col[k] or not alive_col[j]:
+                    continue
+                sj, ej = Acsc.indptr[jloc], Acsc.indptr[jloc + 1]
+                vj = Acsc.data[sj:ej]
+                alpha = vj[np.argmax(np.abs(vj))] / pk
+                if np.max(np.abs(vj - alpha * vk)) > 1e-12 * np.max(np.abs(vj)):
+                    continue  # hash collision
+                dc_ = c[j] - alpha * c[k]
+                ctol = tol * max(1.0, abs(c[j]), abs(alpha * c[k]))
+                if abs(dc_) <= ctol and alpha > 0:
+                    # duplicate: merge j into k with summed bounds
+                    ops.append(_MergeDupCol(
+                        j, k, float(alpha), float(lvar[j]), float(uvar[j]),
+                        float(lvar[k]), float(uvar[k])))
+                    lvar[k] = lvar[k] + alpha * lvar[j]
+                    uvar[k] = uvar[k] + alpha * uvar[j]
+                    alive_col[j] = False
+                    changed = True
+                elif dc_ > ctol and (
+                        (alpha > 0 and not np.isfinite(uvar[k]))
+                        or (alpha < 0 and not np.isfinite(lvar[k]))):
+                    # decreasing x_j (compensated through x_k) always
+                    # improves: x_j -> lvar[j]
+                    if not np.isfinite(lvar[j]):
+                        return _fail(qp, PresolveStatus.UNBOUNDED)
+                    dom_fix_cols.append(j)
+                    dom_fix_vals.append(float(lvar[j]))
+                    alive_col[j] = False  # guard against re-matching below
+                elif dc_ < -ctol and (
+                        (alpha > 0 and not np.isfinite(lvar[k]))
+                        or (alpha < 0 and not np.isfinite(uvar[k]))):
+                    if not np.isfinite(uvar[j]):
+                        return _fail(qp, PresolveStatus.UNBOUNDED)
+                    dom_fix_cols.append(j)
+                    dom_fix_vals.append(float(uvar[j]))
+                    alive_col[j] = False
+        if dom_fix_cols:
+            cols_a = np.asarray(dom_fix_cols, dtype=int)
+            alive_col[cols_a] = True  # eliminate_fixed flips it itself
+            eliminate_fixed(cols_a, np.asarray(dom_fix_vals))
             changed = True
 
         if not changed:
