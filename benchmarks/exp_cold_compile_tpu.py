@@ -22,9 +22,10 @@ import madqp_tpu as mq  # noqa: E402
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "banded"
+    endgame = sys.argv[2] if len(sys.argv) > 2 else "f64"
     import jax
 
-    print(f"device: {jax.devices()[0]}")
+    print(f"device: {jax.devices()[0]}  endgame={endgame}")
     if which == "grid":
         from madqp_tpu.models.generators import grid_lp
 
@@ -32,13 +33,12 @@ def main():
     else:
         qp = mq.banded_sparse_lp(n=20000, m=10000, band=5, seed=0)
 
+    kw = dict(print_level=40, factorization_dtype="float32",
+              max_refine_steps=1, tol=1e-8, endgame=endgame,
+              step_rule=mq.AdaptiveStep(0.995),
+              regularization=mq.FixedRegularization(1e-8, -1e-8))
     t0 = time.time()
-    stats = mq.solve_sparse_lp(
-        qp, print_level=40, factorization_dtype="float32",
-        max_refine_steps=1, tol=1e-8,
-        step_rule=mq.AdaptiveStep(0.995),
-        regularization=mq.FixedRegularization(1e-8, -1e-8),
-    )
+    stats = mq.solve_sparse_lp(qp, **kw)
     cold = time.time() - t0
     print(f"{which}: status={stats.status.name} iters={stats.iter} "
           f"obj={stats.objective:.6e} feas={stats.primal_feas:.1e} "
@@ -46,16 +46,10 @@ def main():
 
     # warm re-solve on perturbed values (same pattern -> cached kernel)
     import dataclasses
-    import numpy as np
 
     qp2 = dataclasses.replace(qp, c=qp.c * (1.0 + 1e-6))
     t0 = time.time()
-    stats2 = mq.solve_sparse_lp(
-        qp2, print_level=40, factorization_dtype="float32",
-        max_refine_steps=1, tol=1e-8,
-        step_rule=mq.AdaptiveStep(0.995),
-        regularization=mq.FixedRegularization(1e-8, -1e-8),
-    )
+    stats2 = mq.solve_sparse_lp(qp2, **kw)
     warm = time.time() - t0
     print(f"{which}: warm_total={warm:.2f}s iters={stats2.iter} "
           f"per_iter={warm / max(1, stats2.iter):.3f}s")

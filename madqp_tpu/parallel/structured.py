@@ -184,6 +184,10 @@ class SchurKKT:
     """
 
     name = "schur"
+    # The explicitly-sharded reductions (_reduce_einsum's out_sharding)
+    # cannot be vmapped — the MPC kernel's 2-RHS init fusion must not
+    # batch this KKT's solve.
+    supports_vmap_solve = False
 
     def __init__(self, fact_dtype=None):
         self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None

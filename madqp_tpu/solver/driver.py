@@ -180,6 +180,13 @@ class MPCSolver:
             self._sparse_make_f64 = lambda: DeviceSparseNormalKKT(
                 self.std.A, fact_dtype=None, inverse=inverse,
             )
+            # Krylov endgame (endgame="krylov"): f32 factor kept as the
+            # PCG preconditioner; only matvecs run in f64.
+            self._sparse_make_krylov = lambda: DeviceSparseNormalKKT(
+                self.std.A, fact_dtype=fact_dtype, inverse=inverse,
+                krylov=True, krylov_tol=opts.krylov_tol,
+                krylov_maxit=opts.krylov_maxit,
+            )
             kkt, kernel, jits = get_sparse_kernel(
                 self._sparse_kind, self._sparse_fp, opts, self._sparse_make)
             base = dict(
@@ -217,6 +224,9 @@ class MPCSolver:
             self._sparse_make_f64 = lambda: DeviceSparseAugmentedKKT(
                 self.std.H, self.std.A, fact_dtype=None, inverse=inverse,
             )
+            # PCG needs an SPD reduced system; the quasi-definite augmented
+            # KKT has none, so the krylov endgame falls back to f64 here.
+            self._sparse_make_krylov = None
             kkt, kernel, jits = get_sparse_kernel(
                 self._sparse_kind, self._sparse_fp, opts, self._sparse_make)
             if kkt.H is not None:
@@ -268,15 +278,23 @@ class MPCSolver:
                 # endgame (see solver/sparse_lp.py for the rationale).
                 # The python/verbose loop chains the same two phases
                 # host-side via self._phase2.
+                import dataclasses as _dc
+
                 from .sparse_common import two_phase_opts
 
                 opts1, opts2 = two_phase_opts(opts)
+                make2 = self._sparse_make_f64
+                if opts2.krylov_solve:
+                    if self._sparse_make_krylov is None:
+                        opts2 = _dc.replace(opts2, krylov_solve=False,
+                                            factorization_dtype="")
+                    else:
+                        make2 = self._sparse_make_krylov
                 kkt, kernel, jits1 = get_sparse_kernel(
                     self._sparse_kind, self._sparse_fp, opts1,
                     self._sparse_make)
                 _, _, jits2 = get_sparse_kernel(
-                    self._sparse_kind, self._sparse_fp, opts2,
-                    self._sparse_make_f64)
+                    self._sparse_kind, self._sparse_fp, opts2, make2)
 
                 def _solve2(prob, x0, y0, lb, ub):
                     f1 = jits1["solve"](prob, x0, y0, lb, ub)

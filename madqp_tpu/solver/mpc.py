@@ -513,13 +513,21 @@ class MPCKernel:
         # traced walk costs seconds of compile on the sparse paths).
         # Step 1: primal least squares x += dx with A dx ~ (b - A x).
         # Step 2: dual least squares A' y ~ -g.
-        rx2 = jnp.stack([zero_n, -g])
-        ry2 = jnp.stack([-c_res, jnp.zeros(p.m, dt)])
-        dx2, dy2 = jax.vmap(
-            lambda rx, ry: self.kkt.solve(factors, rx, ry)
-        )(rx2, ry2)
-        x = x + dx2[0]
-        y = dy2[1]
+        # KKTs that cannot be vmapped (e.g. SchurKKT's explicitly-sharded
+        # einsums) run the two solves sequentially.
+        if getattr(self.kkt, "supports_vmap_solve", True):
+            rx2 = jnp.stack([zero_n, -g])
+            ry2 = jnp.stack([-c_res, jnp.zeros(p.m, dt)])
+            dx2, dy2 = jax.vmap(
+                lambda rx, ry: self.kkt.solve(factors, rx, ry)
+            )(rx2, ry2)
+            x = x + dx2[0]
+            y = dy2[1]
+        else:
+            dx, _ = self.kkt.solve(factors, zero_n, -c_res)
+            x = x + dx
+            _, dy = self.kkt.solve(factors, -g, jnp.zeros(p.m, dt))
+            y = dy
         # Step 3: bound duals from the dual residual r = g + A'y.
         r = g + self.jtprod(p, y)
         ones_n = jnp.ones(p.n, dt)

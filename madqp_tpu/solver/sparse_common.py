@@ -91,11 +91,27 @@ def get_sparse_kernel(kind: str, fingerprint: str, opts, make_kkt):
     def wrap(fn):
         jf = jax.jit(fn)
         if dev_idx is None:
-            return jf
+            fix = lambda prob: prob  # noqa: E731
+        else:
+            fix = lambda prob: prob._replace(idx=dev_idx)  # noqa: E731
 
         def call(prob, *args):
-            return jf(prob._replace(idx=dev_idx), *args)
+            return jf(fix(prob), *args)
 
+        def precompile(prob, *args):
+            """AOT lower+compile for these arg shapes; returns a callable
+            bound to the compiled executable.  Lets a two-phase driver
+            compile phase 2 on a background thread while phase 1 runs
+            (XLA compilation releases the GIL) — the two compiles are the
+            dominant cold cost and otherwise serialize."""
+            compiled = jf.lower(fix(prob), *args).compile()
+
+            def run(prob, *args):
+                return compiled(fix(prob), *args)
+
+            return run
+
+        call.precompile = precompile
         return call
 
     jits = {
@@ -109,6 +125,44 @@ def get_sparse_kernel(kind: str, fingerprint: str, opts, make_kkt):
     while len(_KERNEL_CACHE) > _KERNEL_CACHE_SIZE:
         _KERNEL_CACHE.popitem(last=False)
     return kkt, kernel, jits
+
+
+def start_phase2_overlap(kernel_for, opts2, dummy_args):
+    """Build + AOT-compile the phase-2 warm_solve on a background thread.
+
+    The two-phase scheme's cold cost is dominated by TWO serialized XLA
+    compiles (phase-1 solve_from + phase-2 solve_from_warm).  Phase 2's
+    compile needs only shapes, so it can run while phase 1 traces/compiles/
+    executes — XLA compilation releases the GIL.  Returns finish(*args):
+    joins the thread and runs the compiled executable (falling back to the
+    plain jit call if precompilation failed)."""
+    import threading
+
+    box: dict = {}
+
+    def work():
+        try:
+            _, _, jits2 = kernel_for(opts2)
+            box["jits2"] = jits2
+            box["run"] = jits2["warm_solve"].precompile(*dummy_args)
+        except Exception as e:  # fall back to the blocking path
+            box["err"] = e
+
+    th = threading.Thread(target=work, daemon=True,
+                          name="madqp-phase2-compile")
+    th.start()
+
+    def finish(*args):
+        th.join()
+        run = box.get("run")
+        if run is not None:
+            return run(*args)
+        jits2 = box.get("jits2")
+        if jits2 is None:
+            _, _, jits2 = kernel_for(opts2)
+        return jits2["warm_solve"](*args)
+
+    return finish
 
 
 def two_phase_opts(opts):
@@ -129,5 +183,11 @@ def two_phase_opts(opts):
         opts, tol=opts.phase1_tol,
         stall_exit=opts.stall_exit if opts.stall_exit > 0 else 5,
     )
-    opts2 = dataclasses.replace(opts, factorization_dtype="", phase1_tol=0.0)
+    if opts.endgame == "krylov":
+        # keep the f32 factorization plan; phase 2 solves in f64 via
+        # preconditioned CG (krylov_solve selects the PCG path in the KKT)
+        opts2 = dataclasses.replace(opts, phase1_tol=0.0, krylov_solve=True)
+    else:
+        opts2 = dataclasses.replace(opts, factorization_dtype="",
+                                    phase1_tol=0.0)
     return opts1, opts2

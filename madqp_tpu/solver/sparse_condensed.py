@@ -61,9 +61,15 @@ class DeviceSparseCondensedKKT:
     def __init__(self, H0: Optional[sp.spmatrix], A0: sp.spmatrix,
                  order: str = "auto", max_supernode: int = 128,
                  fact_dtype=None, pivot_floor: Optional[float] = None,
-                 inverse: bool = False):
+                 inverse: bool = False, krylov: bool = False,
+                 krylov_tol: float = 1e-12, krylov_maxit: int = 64):
         self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
         self.inverse = inverse
+        # PCG endgame: f32 factor as preconditioner, f64 matvecs only
+        # (see sparse_lp.DeviceSparseNormalKKT / options.endgame).
+        self.krylov = krylov
+        self.krylov_tol = float(krylov_tol)
+        self.krylov_maxit = int(krylov_maxit)
         A0 = sp.csc_matrix(A0)
         A0.sum_duplicates()
         A0 = A0.sorted_indices()
@@ -222,7 +228,7 @@ class DeviceSparseCondensedKKT:
         else:
             panels = SC.factorize_batched(ix["sym"], c_vals,
                                           inverse=self.inverse)
-        return (panels, D, sig_s, scale, prob)
+        return (panels, D, sig_s, sig_x, scale, prob)
 
     def _a0_mv(self, prob, ix, x):
         a0_vals = prob.a_vals[: self.nnz0]
@@ -236,16 +242,7 @@ class DeviceSparseCondensedKKT:
             a0_vals * y[ix["a0_rows"]], ix["a0_cols"], num_segments=self.n0
         )
 
-    def solve(self, factors, rx, ry):
-        panels, D, sig_s, scale, prob = factors
-        ix = prob.idx if getattr(prob, "idx", None) is not None \
-            else self.host_idx()
-        sym = ix["sym"]
-        n0 = self.n0
-        rx0 = rx[:n0]
-        rs = rx[n0:]
-        w = D * (ry + rs / sig_s)
-        rhs = (rx0 + self._a0_rmv(prob, ix, w)) * scale
+    def _apply_factor(self, sym, panels, rhs):
         out_dtype = rhs.dtype
         if self.fact_dtype is not None and rhs.dtype != self.fact_dtype:
             rhs = rhs.astype(self.fact_dtype)
@@ -255,13 +252,44 @@ class DeviceSparseCondensedKKT:
         else:
             dx0 = SC.solve_batched(sym, panels, rhs,
                                    inverse=self.inverse)
-        dx0 = dx0.astype(out_dtype) * scale
+        return dx0.astype(out_dtype)
+
+    def solve(self, factors, rx, ry):
+        panels, D, sig_s, sig_x, scale, prob = factors
+        ix = prob.idx if getattr(prob, "idx", None) is not None \
+            else self.host_idx()
+        sym = ix["sym"]
+        n0 = self.n0
+        rx0 = rx[:n0]
+        rs = rx[n0:]
+        w = D * (ry + rs / sig_s)
+        rhs = (rx0 + self._a0_rmv(prob, ix, w)) * scale
+        if self.krylov:
+            # f64 PCG on the scaled SPD condensed matrix
+            # Cs = Ds (H0 + Sig_x + A0' D A0) Ds, f32 factor as M^-1.
+            from ..ops.krylov import pcg
+
+            def matvec(v):
+                u = scale * v
+                un = jnp.concatenate([u, jnp.zeros(self.m, u.dtype)])
+                h = prob.hess_mv(un)[:n0]
+                return scale * (
+                    h + sig_x * u
+                    + self._a0_rmv(prob, ix, D * self._a0_mv(prob, ix, u)))
+
+            dx0, _k = pcg(matvec,
+                          lambda r: self._apply_factor(sym, panels, r),
+                          rhs, tol_rel=self.krylov_tol,
+                          maxit=self.krylov_maxit)
+        else:
+            dx0 = self._apply_factor(sym, panels, rhs)
+        dx0 = dx0 * scale
         dy = D * (self._a0_mv(prob, ix, dx0) - ry - rs / sig_s)
         ds = (rs + dy) / sig_s
         return jnp.concatenate([dx0, ds]), dy
 
     def factor_ok(self, factors):
-        panels, D, _sig_s, _scale, _prob = factors
+        panels, D, _sig_s, _sig_x, _scale, _prob = factors
         ok = jnp.all(D > 0)
         if self.use_ldl:
             return ok & SC.factor_ok_batched_ldl(panels, self.expected_signs)
@@ -317,6 +345,8 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
                 H0, A0, order=order,
                 fact_dtype=o.factorization_dtype or None,
                 inverse=(o.solve_mode == "inverse"),
+                krylov=o.krylov_solve, krylov_tol=o.krylov_tol,
+                krylov_maxit=o.krylov_maxit,
             ),
         )
 
@@ -360,19 +390,26 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
     )
     lb = jnp.asarray(std.lb, dtype)
     ub = jnp.asarray(std.ub, dtype)
+    x0j = jnp.asarray(x0, dtype)
+    y0j = jnp.asarray(y0, dtype)
     t0 = time.time()
     with jax.default_matmul_precision("highest"):
+        finish2 = None
+        if two_phase:
+            # Overlap the endgame compile with phase 1 (see sparse_lp).
+            from .sparse_common import start_phase2_overlap
+
+            ones_n = jnp.ones_like(x0j)
+            finish2 = start_phase2_overlap(
+                kernel_for, opts2, (prob, x0j, y0j, ones_n, ones_n, lb, ub))
         final = jax.block_until_ready(
-            jits["solve"](prob, jnp.asarray(x0, dtype),
-                          jnp.asarray(y0, dtype), lb, ub)
+            jits["solve"](prob, x0j, y0j, lb, ub)
         )
         extra = 0
         if two_phase:
             extra = int(final.k)
-            _, _, jits2 = kernel_for(opts2)
             final = jax.block_until_ready(
-                jits2["warm_solve"](prob, final.x, final.y,
-                                    final.zl, final.zu, lb, ub)
+                finish2(prob, final.x, final.y, final.zl, final.zu, lb, ub)
             )
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall, extra_iters=extra,

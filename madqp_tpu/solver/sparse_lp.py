@@ -94,9 +94,18 @@ class DeviceSparseNormalKKT:
 
     def __init__(self, A: sp.spmatrix, order: str = "auto",
                  max_supernode: int = 128, mode: str = "batched",
-                 fact_dtype=None, inverse: bool = False):
+                 fact_dtype=None, inverse: bool = False,
+                 krylov: bool = False, krylov_tol: float = 1e-12,
+                 krylov_maxit: int = 64):
         self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
         self.inverse = inverse
+        # krylov: keep the (f32) factorization as a PRECONDITIONER and
+        # solve the SPD scaled normal system with f64 conjugate gradients
+        # (ops/krylov.pcg) — the two-phase endgame without an emulated-f64
+        # factorization (options.endgame="krylov").
+        self.krylov = krylov
+        self.krylov_tol = float(krylov_tol)
+        self.krylov_maxit = int(krylov_maxit)
         A = sp.csc_matrix(A)
         A.sum_duplicates()
         A = A.sorted_indices()
@@ -265,32 +274,49 @@ class DeviceSparseNormalKKT:
                                           inverse=self.inverse)
         else:
             panels = SC.factorize(sym, s_vals)
-        return (panels, D, scale, prob)
+        return (panels, D, scale, prob, del_c)
+
+    def _apply_factor(self, sym, panels, r2):
+        """One backsolve against the stored factorization (in its dtype)."""
+        out_dtype = r2.dtype
+        if self.fact_dtype is not None and r2.dtype != self.fact_dtype:
+            r2 = r2.astype(self.fact_dtype)
+        if self.use_ldl:
+            dy = SC.solve_batched_ldl(sym, panels, r2, inverse=self.inverse)
+        elif self.mode == "batched":
+            dy = SC.solve_batched(sym, panels, r2, inverse=self.inverse)
+        else:
+            dy = SC.solve(sym, panels, r2)
+        return dy.astype(out_dtype)
 
     def solve(self, factors, rx, ry):
-        panels, D, scale, prob = factors
+        panels, D, scale, prob, del_c = factors
         ix = prob.idx if getattr(prob, "idx", None) is not None \
             else self.host_idx()
         sym = ix["sym"]
         r1 = rx * D
         r2 = (prob.jac_mv(r1) - ry) * scale
-        out_dtype = r2.dtype
-        if self.fact_dtype is not None and r2.dtype != self.fact_dtype:
-            r2 = r2.astype(self.fact_dtype)
-        if self.use_ldl:
-            dy = SC.solve_batched_ldl(sym, panels, r2,
-                                      inverse=self.inverse)
-        elif self.mode == "batched":
-            dy = SC.solve_batched(sym, panels, r2,
-                                  inverse=self.inverse)
+        if self.krylov:
+            # f64 PCG on the scaled SPD normal matrix
+            # Ms = Ds (A D A' - del_c I) Ds with the f32 factor as M^-1.
+            from ..ops.krylov import pcg
+
+            def matvec(v):
+                u = scale * v
+                return (scale * prob.jac_mv(D * prob.jac_rmv(u))
+                        - del_c * scale * u)
+
+            dy, _k = pcg(matvec, lambda r: self._apply_factor(sym, panels, r),
+                         r2, tol_rel=self.krylov_tol,
+                         maxit=self.krylov_maxit)
         else:
-            dy = SC.solve(sym, panels, r2)
-        dy = dy.astype(out_dtype) * scale
+            dy = self._apply_factor(sym, panels, r2)
+        dy = dy * scale
         dx = (rx - prob.jac_rmv(dy)) * D
         return dx, dy
 
     def factor_ok(self, factors):
-        panels, D, _scale, _ = factors
+        panels, D, _scale, _prob, _dc = factors
         ok = jnp.all(D > 0)
         if self.use_ldl:
             return ok & SC.factor_ok_batched_ldl(panels,
@@ -343,6 +369,8 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
                 std.A, order=order, mode=mode,
                 fact_dtype=o.factorization_dtype or None,
                 inverse=(o.solve_mode == "inverse"),
+                krylov=o.krylov_solve, krylov_tol=o.krylov_tol,
+                krylov_maxit=o.krylov_maxit,
             ),
         )
 
@@ -384,21 +412,31 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     t0 = time.time()
     # TPU f32 matmuls default to bf16-pass precision — fatal for an f32
     # factorization.  Force full-f32 accumulation while tracing the solve.
+    x0j = jnp.asarray(x0, dtype)
+    y0j = jnp.asarray(y0, dtype)
     with jax.default_matmul_precision("highest"):
+        finish2 = None
+        if two_phase:
+            # Compile the endgame on a background thread while phase 1
+            # traces/compiles/runs (sparse_common.start_phase2_overlap).
+            from .sparse_common import start_phase2_overlap
+
+            ones_n = jnp.ones_like(x0j)
+            finish2 = start_phase2_overlap(
+                kernel_for, opts2, (prob, x0j, y0j, ones_n, ones_n, lb, ub))
         final = jax.block_until_ready(
-            jits["solve"](prob, jnp.asarray(x0, dtype),
-                          jnp.asarray(y0, dtype), lb, ub)
+            jits["solve"](prob, x0j, y0j, lb, ub)
         )
         extra = 0
         if two_phase:
-            # f64 endgame warm-started from the f32 phase's iterate: f32
-            # factors of a cond>1e7 KKT stall short of 1e-8 (IR cannot
-            # recover it), so the last few iterations pay f64.
+            # Endgame warm-started from the f32 phase's iterate: f32
+            # factors of a cond>1e7 KKT stall short of 1e-8 under
+            # stationary refinement, so the endgame runs either the f64
+            # refactorization or f64 PCG preconditioned by the f32 factor
+            # (options.endgame="krylov").
             extra = int(final.k)
-            _, _, jits2 = kernel_for(opts2)
             final = jax.block_until_ready(
-                jits2["warm_solve"](prob, final.x, final.y,
-                                    final.zl, final.zu, lb, ub)
+                finish2(prob, final.x, final.y, final.zl, final.zu, lb, ub)
             )
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall, extra_iters=extra,

@@ -434,22 +434,34 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
     )
     lb = jnp.asarray(std.lb, dtype)
     ub = jnp.asarray(std.ub, dtype)
+    x0j = jnp.asarray(x0, dtype)
+    y0j = jnp.asarray(y0, dtype)
     t0 = time.time()
     # TPU f32 matmuls default to bf16-pass precision — fatal for an f32
     # factorization.  Force full-f32 accumulation while tracing the solve.
     with jax.default_matmul_precision("highest"):
+        finish2 = None
+        if two_phase:
+            # Overlap the endgame compile with phase 1 (see sparse_lp).
+            # The augmented KKT has no SPD reduction, so endgame="krylov"
+            # falls back to the f64 refactorization here.
+            from .sparse_common import start_phase2_overlap
+
+            if opts2.krylov_solve:
+                opts2 = dataclasses.replace(
+                    opts2, krylov_solve=False, factorization_dtype="")
+            ones_n = jnp.ones_like(x0j)
+            finish2 = start_phase2_overlap(
+                kernel_for, opts2, (prob, x0j, y0j, ones_n, ones_n, lb, ub))
         final = jax.block_until_ready(
-            jits["solve"](prob, jnp.asarray(x0, dtype),
-                          jnp.asarray(y0, dtype), lb, ub)
+            jits["solve"](prob, x0j, y0j, lb, ub)
         )
         extra = 0
         if two_phase:
             # f64 endgame warm-started from the f32 phase (see sparse_lp).
             extra = int(final.k)
-            _, _, jits2 = kernel_for(opts2)
             final = jax.block_until_ready(
-                jits2["warm_solve"](prob, final.x, final.y,
-                                    final.zl, final.zu, lb, ub)
+                finish2(prob, final.x, final.y, final.zl, final.zu, lb, ub)
             )
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall, extra_iters=extra,

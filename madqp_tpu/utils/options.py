@@ -154,6 +154,19 @@ class IPMOptions:
     # few iterations must pay f64.  'simple' = single-phase f32+IR.
     precision_scheme: str = "two-phase"
     phase1_tol: float = 1e-3
+    # Endgame of the two-phase scheme: "f64" refactorizes in f64 (emulated
+    # on TPU — dominates both device time and the compile bill: the f64
+    # supernodal program alone costs ~164 s of XLA compile on the banded
+    # n=20k LP); "krylov" keeps the f32 pivot-floored factorization as a
+    # PRECONDITIONER for f64 conjugate gradients on the SPD reduced system
+    # (normal equations / condensed), so only matvecs run in f64
+    # (benchmarks/exp_endgame_krylov.py for the keep/reject data).
+    endgame: str = "f64"
+    krylov_tol: float = 1e-12   # PCG relative-residual target
+    krylov_maxit: int = 64
+    # Internal: phase-2 marker set by two_phase_opts for endgame="krylov"
+    # (selects the PCG solve path in the sparse KKT construction).
+    krylov_solve: bool = False
     # Exit the loop with Status.SOLVED_TO_ACCEPTABLE_LEVEL after this many
     # consecutive iterations without a 10% improvement of the best
     # max-infeasibility (0 = disabled).  The two-phase drivers enable it for

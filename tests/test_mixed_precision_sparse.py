@@ -85,3 +85,47 @@ def test_driver_two_phase_sparse_normal(banded):
     assert st.status == mq.Status.SOLVE_SUCCEEDED
     assert st.primal_feas < 1e-8 and st.dual_feas < 1e-8
     assert st.objective == pytest.approx(ref.objective, rel=1e-9)
+
+
+class TestKrylovEndgame:
+    """endgame='krylov' (VERDICT #9): the f32 factor preconditions f64 CG
+    instead of refactorizing in f64; iterates must match the f64 endgame."""
+
+    def test_lp_matches_f64_endgame(self):
+        import madqp_tpu as mq
+        from madqp_tpu.models.generators import grid_lp
+
+        qp = grid_lp(g=12, seed=0)
+        kw = dict(print_level=40, factorization_dtype="float32",
+                  max_refine_steps=1, tol=1e-8)
+        a = mq.solve_sparse_lp(qp, endgame="f64", **kw)
+        b = mq.solve_sparse_lp(qp, endgame="krylov", **kw)
+        assert a.status == b.status == mq.Status.SOLVE_SUCCEEDED
+        assert b.iter == a.iter
+        assert b.objective == pytest.approx(a.objective, rel=1e-10)
+        assert b.primal_feas < 1e-8 and b.dual_feas < 1e-8
+
+    def test_condensed_krylov(self):
+        import madqp_tpu as mq
+        import numpy as np
+        import scipy.sparse as sp
+
+        rng = np.random.default_rng(0)
+        n, m = 120, 240
+        H = sp.diags([np.full(n - 1, -1.0), np.full(n, 2.5),
+                      np.full(n - 1, -1.0)], (-1, 0, 1), format="csr")
+        A = sp.random(m, n, density=0.05,
+                      random_state=np.random.RandomState(1),
+                      data_rvs=lambda k: rng.uniform(0.5, 1.5, k)).tocsr()
+        x_f = rng.uniform(0.2, 0.8, n)
+        mid = np.asarray(A @ x_f).ravel()
+        qp = mq.QuadraticProblem(
+            c=rng.standard_normal(n), H=H, A=A,
+            lcon=mid - 1.0, ucon=mid + 1.0,
+            lvar=np.zeros(n), uvar=np.ones(n))
+        kw = dict(print_level=40, factorization_dtype="float32",
+                  max_refine_steps=1, tol=1e-8)
+        a = mq.solve_sparse_condensed(qp, endgame="f64", **kw)
+        b = mq.solve_sparse_condensed(qp, endgame="krylov", **kw)
+        assert a.status == b.status == mq.Status.SOLVE_SUCCEEDED
+        assert b.objective == pytest.approx(a.objective, rel=1e-8)
