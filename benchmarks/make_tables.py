@@ -29,7 +29,15 @@ def main():
     ap.add_argument("--labels", nargs=2, default=["a", "b"])
     ap.add_argument("--format", choices=["markdown", "latex"], default="markdown")
     ap.add_argument("--metric", default="total_time",
-                    choices=["total_time", "linear_solver_time"])
+                    choices=["total_time", "linear_solver_time",
+                             "warm_time"],
+                    help="warm_time = in-process warm re-solve wall "
+                         "(run_suite --repeat N); falls back to "
+                         "total_time when a record lacks it")
+    ap.add_argument("--matched-only", action="store_true",
+                    help="keep instances where both runs took the same "
+                         "iteration count (BASELINE: wall-clock parity at "
+                         "MATCHED iteration counts)")
     ap.add_argument("-o", "--out", default="")
     args = ap.parse_args()
 
@@ -38,19 +46,28 @@ def main():
     la, lb = args.labels
     met = args.metric
 
+    def get(r):
+        v = r.get(met)
+        if v is None or (isinstance(v, float) and v < 0):
+            v = r.get("total_time")
+        return v
+
     # both-solved instances only (reference generate_tables.jl:66-68)
     names = sorted(
         nm for nm in a.keys() & b.keys()
         if a[nm].get("status") == 1 and b[nm].get("status") == 1
     )
+    if args.matched_only:
+        names = [nm for nm in names if a[nm]["iter"] == b[nm]["iter"]]
 
     rows = []
     for nm in names:
         ra, rb = a[nm], b[nm]
-        ratio = ra[met] / rb[met] if rb[met] > 0 else float("nan")
+        va, vb = get(ra), get(rb)
+        ratio = va / vb if vb and vb > 0 else float("nan")
         rows.append(
             (nm, ra["nvar"], ra["ncon"], ra["iter"], rb["iter"],
-             ra[met], rb[met], ratio)
+             va, vb, ratio)
         )
 
     header = (

@@ -26,9 +26,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import madqp_tpu as mq  # noqa: E402
 
 
-def run_instance(name, qp, options):
+def run_instance(name, qp, options, repeat=1):
     """import -> presolve -> scale -> solve -> 9-column record
-    (reference run_benchmark, scripts/benchmarks_cpu.jl:12-60)."""
+    (reference run_benchmark, scripts/benchmarks_cpu.jl:12-60).
+
+    repeat > 1 re-solves the instance in-process on value-perturbed data
+    and records the best wall as warm_time (same-pattern solves reuse the
+    cached kernels/executables; the production number for sweeps)."""
     record = {
         "name": name,
         "nvar": qp.nvar,
@@ -41,6 +45,25 @@ def run_instance(name, qp, options):
         "total_time": -1.0,
         "linear_solver_time": -1.0,
     }
+
+    def dispatch(qp_s, solve_opts, backend):
+        if backend == "host":
+            return mq.solve_host(qp_s, **solve_opts)
+        if backend == "sparse-device":
+            # fully on-device sparse path: normal equations for LPs,
+            # augmented LDL for QPs (solver/sparse_{lp,qp}.py)
+            solve_opts = dict(solve_opts)
+            solve_opts.pop("pad_mode", None)
+            solve_opts.pop("kkt_system", None)
+            skkt = solve_opts.pop("sparse_kkt", "auto")
+            if qp_s.is_lp and skkt == "auto":
+                return mq.solve_sparse_lp(qp_s, **solve_opts)
+            # auto: diagonal-Hessian QPs ride the smaller SPD
+            # normal-equations reduction; general H -> augmented LDL;
+            # condensed = K1 slack/dual elimination (SPD n0 x n0)
+            return mq.solve_sparse_qp(qp_s, kkt_system=skkt, **solve_opts)
+        return mq.solve(qp_s, **solve_opts)
+
     try:
         backend = options.get("backend", "device")
         solve_opts = {k: v for k, v in options.items() if k != "backend"}
@@ -56,30 +79,23 @@ def run_instance(name, qp, options):
             return record
         qp_s, scaling = mq.scale_qp(qp_p)
         t0 = time.time()
-        if backend == "host":
-            stats = mq.solve_host(qp_s, **solve_opts)
-        elif backend == "sparse-device":
-            # fully on-device sparse path: normal equations for LPs,
-            # augmented LDL for QPs (solver/sparse_{lp,qp}.py)
-            solve_opts.pop("pad_mode", None)
-            solve_opts.pop("kkt_system", None)
-            skkt = solve_opts.pop("sparse_kkt", "auto")
-            if qp_s.is_lp and skkt == "auto":
-                stats = mq.solve_sparse_lp(qp_s, **solve_opts)
-            else:
-                # auto: diagonal-Hessian QPs ride the smaller SPD
-                # normal-equations reduction; general H -> augmented LDL;
-                # condensed = K1 slack/dual elimination (SPD n0 x n0)
-                stats = mq.solve_sparse_qp(qp_s, kkt_system=skkt,
-                                           **solve_opts)
-        else:
-            stats = mq.solve(qp_s, **solve_opts)
+        stats = dispatch(qp_s, solve_opts, backend)
         record["total_time"] = time.time() - t0
         stats = mq.unscale_stats(scaling, stats)
         record["status"] = int(stats.status == mq.Status.SOLVE_SUCCEEDED)
         record["iter"] = stats.iter
         record["objective"] = stats.objective
         record["linear_solver_time"] = stats.counters.linear_solver_time
+        if repeat > 1 and record["status"] == 1:
+            import dataclasses as _dc
+
+            walls = []
+            for r in range(1, repeat):
+                qp_r = _dc.replace(qp_s, c=qp_s.c * (1.0 + 1e-6 * r))
+                tw = time.time()
+                dispatch(qp_r, solve_opts, backend)
+                walls.append(time.time() - tw)
+            record["warm_time"] = min(walls)
     except Exception as e:  # mirror the harness's record-and-continue policy
         record["status"] = f"error:{type(e).__name__}"
     return record
@@ -116,7 +132,7 @@ def main():
     ap.add_argument("--dir", help="directory of .mps/.qps/.sif[.gz|.bz2] files")
     ap.add_argument("--suite", default="random_qp",
                     help="random_qp | random_lp | dense_dummy | "
-                         "structured[:small|medium|large] (Netlib-like "
+                         "structured[:small|medium|large|xlarge] (Netlib-like "
                          "family mix, models/suite.py)")
     ap.add_argument("--sizes", default="100,200,500")
     ap.add_argument("--tol", type=float, default=1e-8)
@@ -145,7 +161,7 @@ def main():
                     help="solve the whole suite as ONE vmapped batch "
                          "(single compile, lockstep iterations)")
     ap.add_argument("--repeat", type=int, default=1,
-                    help="batched mode: re-solve each bucket in-process "
+                    help="re-solve each instance/bucket in-process "
                          "(value-perturbed) this many times total and "
                          "record the best warm wall time as warm_time")
     ap.add_argument("--out", default="")
@@ -277,7 +293,7 @@ def main():
             _checkpoint()
     else:
         for nm, qp in instances:
-            rec = run_instance(nm, qp, options)
+            rec = run_instance(nm, qp, options, repeat=args.repeat)
             results.append(rec)
             print(json.dumps(rec), flush=True)
             _checkpoint()  # per-instance: a killed run resumes with --resume

@@ -65,6 +65,91 @@ _KERNEL_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
 _KERNEL_CACHE_SIZE = 16  # each entry holds a symbolic schedule (MBs)
 
 
+# ---------------------------------------------------------------------------
+# Cross-process executable cache (VERDICT round-1 #1: "make compiled kernels
+# survive process restarts — the axon persistent compile cache is broken").
+# jax.experimental.serialize_executable round-trips on the axon PJRT client
+# (measured: 7 MB blob, ~0.01 s deserialize vs 37-164 s compile for the
+# sparse solve programs), so compiled sparse solves are persisted to disk
+# keyed by (pattern, options, arg avals, jax version, device kind).  The
+# pytree defs are NOT pickled — they are reconstructed at load time from
+# tree_structure(args) and eval_shape (verified identical).
+# ---------------------------------------------------------------------------
+
+
+def _exec_cache_dir():
+    import os
+
+    d = os.environ.get("MADQP_EXEC_CACHE")
+    if d == "0":
+        return None
+    if d:
+        return d
+    import jax
+
+    # default ON for accelerator backends only (CPU compiles are cheap
+    # and CI churn would fill the cache with throwaway programs)
+    if jax.default_backend() == "cpu":
+        return None
+    return os.path.expanduser("~/.cache/madqp_exec")
+
+
+def _exec_cache_key(name: str, key_base: str, args) -> str:
+    import jax
+
+    dev = jax.devices()[0]
+    sig = ",".join(
+        f"{l.dtype}{list(l.shape)}" for l in jax.tree_util.tree_leaves(args)
+        if hasattr(l, "dtype")
+    )
+    h = hashlib.sha256()
+    for part in ("v1", name, key_base, sig, jax.__version__,
+                 getattr(dev, "device_kind", str(dev))):
+        h.update(part.encode())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
+def _load_or_compile(jf, name: str, key_base: str, args):
+    """AOT-compile jf for these args, persisting/reusing the serialized
+    executable on disk.  Returns a callable bound to the executable, or
+    None when caching is unavailable (caller falls back to plain jit)."""
+    import os
+
+    import jax
+
+    cache_dir = _exec_cache_dir()
+    if cache_dir is None:
+        return None
+    from jax.experimental import serialize_executable as se
+
+    path = os.path.join(cache_dir, _exec_cache_key(name, key_base, args))
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                payload = f.read()
+            in_tree = jax.tree_util.tree_structure((args, {}))
+            out_tree = jax.tree_util.tree_structure(
+                jax.eval_shape(jf, *args))
+            return se.deserialize_and_load(payload, in_tree, out_tree)
+        except Exception:
+            try:
+                os.unlink(path)  # stale/corrupt blob: recompile below
+            except OSError:
+                pass
+    compiled = jf.lower(*args).compile()
+    try:
+        payload, _in_tree, _out_tree = se.serialize(compiled)
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+    except Exception:
+        pass  # serialization is best-effort; the compiled object still works
+    return compiled
+
+
 def get_sparse_kernel(kind: str, fingerprint: str, opts, make_kkt):
     """Return (kkt, kernel, jits) for this (kind, pattern, options),
     building via make_kkt() on a miss.  jits is the same dict shape as
@@ -88,38 +173,74 @@ def get_sparse_kernel(kind: str, fingerprint: str, opts, make_kkt):
     # grid-20k normal matrix — benchmarks/exp_compile_breakdown.py).
     dev_idx = kkt.device_idx() if hasattr(kkt, "device_idx") else None
 
-    def wrap(fn):
+    key_base = f"{kind}|{fingerprint}|{opts!r}"
+
+    def wrap(fn, name):
         jf = jax.jit(fn)
         if dev_idx is None:
             fix = lambda prob: prob  # noqa: E731
         else:
             fix = lambda prob: prob._replace(idx=dev_idx)  # noqa: E731
+        execs: dict = {}
+
+        def _get_exec(a):
+            sig = tuple(
+                (str(l.dtype), l.shape)
+                for l in jax.tree_util.tree_leaves(a) if hasattr(l, "dtype")
+            )
+            if sig not in execs:
+                try:
+                    execs[sig] = _load_or_compile(jf, name, key_base, a)
+                except Exception:
+                    execs[sig] = None  # plain jit dispatch
+            return execs[sig]
 
         def call(prob, *args):
-            return jf(fix(prob), *args)
+            a = (fix(prob),) + args
+            run = _get_exec(a)
+            if run is None:
+                return jf(*a)
+            try:
+                return run(*a)
+            except Exception:
+                # aval/backend mismatch on a reloaded executable: disable
+                # it for this signature and dispatch through jit
+                sig = tuple(
+                    (str(l.dtype), l.shape)
+                    for l in jax.tree_util.tree_leaves(a)
+                    if hasattr(l, "dtype"))
+                execs[sig] = None
+                return jf(*a)
 
         def precompile(prob, *args):
-            """AOT lower+compile for these arg shapes; returns a callable
-            bound to the compiled executable.  Lets a two-phase driver
-            compile phase 2 on a background thread while phase 1 runs
-            (XLA compilation releases the GIL) — the two compiles are the
-            dominant cold cost and otherwise serialize."""
-            compiled = jf.lower(fix(prob), *args).compile()
+            """Materialize the executable for these arg shapes (disk-cached
+            across processes; see _load_or_compile).  Used by the two-phase
+            drivers to build phase 2 on a background thread while phase 1
+            runs."""
+            a = (fix(prob),) + args
+            run = _get_exec(a)
+            if run is None:
+                run = jf.lower(*a).compile()
+                sig = tuple(
+                    (str(l.dtype), l.shape)
+                    for l in jax.tree_util.tree_leaves(a)
+                    if hasattr(l, "dtype"))
+                execs[sig] = run
 
-            def run(prob, *args):
-                return compiled(fix(prob), *args)
+            def bound(prob, *args):
+                return run(fix(prob), *args)
 
-            return run
+            return bound
 
         call.precompile = precompile
         return call
 
     jits = {
-        "solve": wrap(kernel.solve_from),
-        "iter": wrap(kernel.iteration),
-        "init": wrap(kernel.init_state),
-        "warm_solve": wrap(kernel.solve_from_warm),
-        "warm_init": wrap(kernel.init_state_warm),
+        "solve": wrap(kernel.solve_from, "solve"),
+        "iter": wrap(kernel.iteration, "iter"),
+        "init": wrap(kernel.init_state, "init"),
+        "warm_solve": wrap(kernel.solve_from_warm, "warm_solve"),
+        "warm_init": wrap(kernel.init_state_warm, "warm_init"),
     }
     _KERNEL_CACHE[key] = (kkt, kernel, jits)
     while len(_KERNEL_CACHE) > _KERNEL_CACHE_SIZE:
