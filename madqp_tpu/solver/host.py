@@ -192,6 +192,18 @@ class HostMPCSolver:
             self.kkt = HostK2KKT(self.prob)
         self.cnt = Counters(start_time=t0, init_time=time.time() - t0)
         self.eps = np.finfo(np.float64).eps
+        self._warm = None
+
+    def set_initial_point_internal(self, x, y, zl, zu):
+        """Warm start from an INTERNAL-space primal-dual point (the same
+        standard form this solver builds — e.g. a device two-phase f32
+        iterate handed to the host endgame, options.endgame='host').
+        Skips the three least-squares starting solves; the point is pushed
+        strictly inside bounds and dual positivity is floored, mirroring
+        MPCKernel.init_state_warm."""
+        self._warm = (np.asarray(x, np.float64), np.asarray(y, np.float64),
+                      np.asarray(zl, np.float64), np.asarray(zu, np.float64))
+        return self
 
     # -- pieces reused from ops.kernels (eager, CPU device) -----------------
 
@@ -328,25 +340,41 @@ class HostMPCSolver:
         # Starting point (3 KKT solves; reference init_starting_point!).
         # The initial system uses pr_diag = del_w exactly (src/solver.jl:16-18);
         # retry with escalation if the no-pivot LDL breaks down.
-        dw0, dc0 = del_w, del_c
-        for _ in range(_MAX_FACT_TRIALS):
-            t0 = time.time()
-            self.kkt.factorize(np.full(p.n, dw0), dc0)
-            cnt.linear_solver_time += time.time() - t0
-            if self.kkt.factor_ok():
-                break
-            dw0, dc0 = self._escalate(dw0, dc0)
-        dx, _ = self.kkt.solve(np.zeros(p.n), -c_res)
-        x = jnp.asarray(np.asarray(x) + dx)
-        _, dy = self.kkt.solve(-g, np.zeros(p.m))
-        y = dy
-        r = g + p.jac_rmv(y)
-        ones = jnp.ones(p.n)
-        zl, zu = K.init_bound_duals(jnp.asarray(r), *masks, ones, ones)
-        x, zl, zu = K.mehrotra_positivity_shift(x, lb, ub, *masks, zl, zu)
-        x = K.project_bound_fac(x, lb, ub, *masks, opts.bound_fac)
-
-        mu = opts.mu_init
+        if self._warm is not None:
+            # Warm start (set_initial_point_internal): skip the three
+            # least-squares starting solves.
+            xw, yw, zlw, zuw = self._warm
+            x = K.push_inside_bounds(
+                jnp.asarray(xw), lb, ub, *masks, opts.bound_push,
+                opts.bound_fac)
+            y = np.asarray(yw)
+            floor = 1e-8
+            zl = jnp.where(p.has_lb,
+                           jnp.maximum(jnp.asarray(zlw), floor), 0.0)
+            zu = jnp.where(p.has_ub,
+                           jnp.maximum(jnp.asarray(zuw), floor), 0.0)
+            mu = float(np.clip(
+                K.complementarity_measure(x, lb, ub, *masks, zl, zu),
+                opts.mu_min, opts.mu_init))
+        else:
+            dw0, dc0 = del_w, del_c
+            for _ in range(_MAX_FACT_TRIALS):
+                t0 = time.time()
+                self.kkt.factorize(np.full(p.n, dw0), dc0)
+                cnt.linear_solver_time += time.time() - t0
+                if self.kkt.factor_ok():
+                    break
+                dw0, dc0 = self._escalate(dw0, dc0)
+            dx, _ = self.kkt.solve(np.zeros(p.n), -c_res)
+            x = jnp.asarray(np.asarray(x) + dx)
+            _, dy = self.kkt.solve(-g, np.zeros(p.m))
+            y = dy
+            r = g + p.jac_rmv(y)
+            ones = jnp.ones(p.n)
+            zl, zu = K.init_bound_duals(jnp.asarray(r), *masks, ones, ones)
+            x, zl, zu = K.mehrotra_positivity_shift(x, lb, ub, *masks, zl, zu)
+            x = K.project_bound_fac(x, lb, ub, *masks, opts.bound_fac)
+            mu = opts.mu_init
         alpha_p = alpha_d = 1.0
         d_norm = 0.0
         if opts.barrier_gate == "one-sided":  # reference gate (kernels.jl:227)

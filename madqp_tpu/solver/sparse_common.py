@@ -78,20 +78,19 @@ _KERNEL_CACHE_SIZE = 16  # each entry holds a symbolic schedule (MBs)
 
 
 def _exec_cache_dir():
+    """Opt-in only (set MADQP_EXEC_CACHE=<dir>).  On the tunneled axon
+    backend the round trip is a net LOSS: serialize/deserialize are fast
+    (0.4 s / 2 s) but the FIRST EXECUTION of a deserialized executable
+    takes longer than compiling from scratch (measured 337 s vs 39 s on
+    the banded-4k factorization — the plugin evidently finishes loading /
+    recompiles lazily), and the blobs run 100-300 MB.  On backends with a
+    local PJRT runtime the reload is genuinely instant."""
     import os
 
     d = os.environ.get("MADQP_EXEC_CACHE")
-    if d == "0":
+    if not d or d == "0":
         return None
-    if d:
-        return d
-    import jax
-
-    # default ON for accelerator backends only (CPU compiles are cheap
-    # and CI churn would fill the cache with throwaway programs)
-    if jax.default_backend() == "cpu":
-        return None
-    return os.path.expanduser("~/.cache/madqp_exec")
+    return d
 
 
 def _exec_cache_key(name: str, key_base: str, args) -> str:

@@ -317,7 +317,7 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
     tolerance) so every row carries a slack — the condensed elimination
     needs Σs on each row.  Returns ExecutionStats like mq.solve.
     """
-    from ..solver.sparse_qp import SparseQPProblem, finish_stats
+    from ..solver.sparse_qp import SparseQPProblem, _host_endgame, finish_stats
     from ..utils import load_options
 
     from .sparse_common import (canonical_coo_vals, get_sparse_kernel,
@@ -393,9 +393,10 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
     x0j = jnp.asarray(x0, dtype)
     y0j = jnp.asarray(y0, dtype)
     t0 = time.time()
+    host_endgame = two_phase and opts.endgame == "host"
     with jax.default_matmul_precision("highest"):
         finish2 = None
-        if two_phase:
+        if two_phase and not host_endgame:
             # Overlap the endgame compile with phase 1 (see sparse_lp).
             from .sparse_common import start_phase2_overlap
 
@@ -406,6 +407,11 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
             jits["solve"](prob, x0j, y0j, lb, ub)
         )
         extra = 0
+        if host_endgame:
+            # Coordinates must match: hand the RELAXED problem (the same
+            # one this std was built from) to the host solver.
+            return _host_endgame(qp_rel, opts, final, info, std, t0,
+                                 kkt_system="k2")
         if two_phase:
             extra = int(final.k)
             final = jax.block_until_ready(

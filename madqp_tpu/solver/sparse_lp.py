@@ -341,7 +341,7 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     import time
 
     from ..solver.mpc import MPCKernel
-    from ..solver.sparse_qp import SparseQPProblem, finish_stats
+    from ..solver.sparse_qp import SparseQPProblem, _host_endgame, finish_stats
     from ..utils import load_options
 
     from .sparse_common import (canonical_coo_vals, get_sparse_kernel,
@@ -414,9 +414,10 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     # factorization.  Force full-f32 accumulation while tracing the solve.
     x0j = jnp.asarray(x0, dtype)
     y0j = jnp.asarray(y0, dtype)
+    host_endgame = two_phase and opts.endgame == "host"
     with jax.default_matmul_precision("highest"):
         finish2 = None
-        if two_phase:
+        if two_phase and not host_endgame:
             # Compile the endgame on a background thread while phase 1
             # traces/compiles/runs (sparse_common.start_phase2_overlap).
             from .sparse_common import start_phase2_overlap
@@ -428,6 +429,13 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
             jits["solve"](prob, x0j, y0j, lb, ub)
         )
         extra = 0
+        if host_endgame:
+            # Endgame on the HOST C++ LDL path, warm-started from the f32
+            # iterate: the last ~5 f64 iterations cost the same wall as
+            # on-device emulated f64, but the f64 XLA program (the
+            # dominant compile bill, ~164 s on banded-20k) never compiles.
+            return _host_endgame(qp, opts, final, info, std, t0,
+                                 kkt_system="normal")
         if two_phase:
             # Endgame warm-started from the f32 phase's iterate: f32
             # factors of a cond>1e7 KKT stall short of 1e-8 under

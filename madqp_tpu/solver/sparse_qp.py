@@ -302,6 +302,43 @@ def finish_stats(qp: QuadraticProblem, info, opts, final, wall,
     )
 
 
+def _host_endgame(qp, opts, final, info, std, t0, kkt_system="k2"):
+    """Finish a two-phase solve on the HOST sparse path (endgame="host"):
+    warm-start HostMPCSolver (native C++ LDL) from the device f32 phase's
+    terminal iterate.  The ~5 endgame iterations run at roughly the same
+    wall as on-device emulated f64 (BENCH_NOTES: host 0.30 s/iter vs TPU
+    0.26 s/iter on banded-20k) but the emulated-f64 XLA program — the
+    dominant cold-compile cost — never exists.  Coordinates match because
+    HostMPCSolver builds the identical standard form."""
+    import dataclasses
+    import time as _time
+
+    from .host import HostMPCSolver
+
+    extra = int(final.k)
+    host = HostMPCSolver(
+        qp, tol=opts.tol, max_iter=opts.max_iter, max_ncorr=opts.max_ncorr,
+        step_rule=opts.step_rule, regularization=opts.regularization,
+        kkt_system=kkt_system, print_level=max(opts.print_level, 25),
+        scaling=opts.scaling, max_gradient=opts.max_gradient,
+        barrier_gate=opts.barrier_gate, mu_min=opts.mu_min,
+        bound_push=opts.bound_push, bound_fac=opts.bound_fac,
+        bound_relax_factor=opts.bound_relax_factor,
+    )
+    n, m = host.prob.n, host.prob.m
+    assert n == std.A.shape[1] and m == std.A.shape[0], (
+        "host endgame standard form mismatch")
+    host.set_initial_point_internal(
+        np.asarray(final.x, np.float64)[:n],
+        np.asarray(final.y, np.float64)[:m],
+        np.asarray(final.zl, np.float64)[:n],
+        np.asarray(final.zu, np.float64)[:n],
+    )
+    stats = host.solve()
+    stats.counters.total_time = _time.time() - t0
+    return dataclasses.replace(stats, iter=stats.iter + extra)
+
+
 def _condensed_auto_ok(qp: QuadraticProblem, fill_cap: float = 4.0) -> bool:
     """Auto-routing guard for the condensed (K1) path.
 
@@ -439,9 +476,10 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
     t0 = time.time()
     # TPU f32 matmuls default to bf16-pass precision — fatal for an f32
     # factorization.  Force full-f32 accumulation while tracing the solve.
+    host_endgame = two_phase and opts.endgame == "host"
     with jax.default_matmul_precision("highest"):
         finish2 = None
-        if two_phase:
+        if two_phase and not host_endgame:
             # Overlap the endgame compile with phase 1 (see sparse_lp).
             # The augmented KKT has no SPD reduction, so endgame="krylov"
             # falls back to the f64 refactorization here.
@@ -457,6 +495,9 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
             jits["solve"](prob, x0j, y0j, lb, ub)
         )
         extra = 0
+        if host_endgame:
+            return _host_endgame(qp, opts, final, info, std, t0,
+                                 kkt_system="k2")
         if two_phase:
             # f64 endgame warm-started from the f32 phase (see sparse_lp).
             extra = int(final.k)

@@ -129,3 +129,65 @@ class TestKrylovEndgame:
         b = mq.solve_sparse_condensed(qp, endgame="krylov", **kw)
         assert a.status == b.status == mq.Status.SOLVE_SUCCEEDED
         assert b.objective == pytest.approx(a.objective, rel=1e-8)
+
+
+class TestHostEndgame:
+    """endgame='host': the last iterations run on the host C++ LDL path,
+    warm-started from the device f32 iterate — the f64 XLA program (the
+    dominant cold-compile cost) never compiles."""
+
+    def test_lp_matches_f64_endgame(self):
+        import madqp_tpu as mq
+        from madqp_tpu.models.generators import grid_lp
+
+        qp = grid_lp(g=12, seed=0)
+        kw = dict(print_level=40, factorization_dtype="float32",
+                  max_refine_steps=1, tol=1e-8)
+        a = mq.solve_sparse_lp(qp, endgame="f64", **kw)
+        b = mq.solve_sparse_lp(qp, endgame="host", **kw)
+        assert a.status == b.status == mq.Status.SOLVE_SUCCEEDED
+        assert b.objective == pytest.approx(a.objective, rel=1e-9)
+        assert b.primal_feas < 1e-8 and b.dual_feas < 1e-8
+
+    def test_qp_augmented_host_endgame(self):
+        import madqp_tpu as mq
+        from madqp_tpu.models.suite import chain_qp
+
+        qp = chain_qp(120, seed=0)
+        kw = dict(print_level=40, factorization_dtype="float32",
+                  max_refine_steps=1, tol=1e-8)
+        a = mq.solve_sparse_qp(qp, **kw)
+        b = mq.solve_sparse_qp(qp, endgame="host", **kw)
+        assert a.status == b.status == mq.Status.SOLVE_SUCCEEDED
+        assert b.objective == pytest.approx(a.objective, rel=1e-8)
+
+    def test_host_warm_start_internal(self):
+        # a warm start at the solution must converge in very few iterations
+        import madqp_tpu as mq
+        import numpy as np
+        from madqp_tpu.solver.host import HostMPCSolver
+
+        qp = mq.random_lp(60, 24, seed=2)
+        ref = HostMPCSolver(qp, print_level=40, tol=1e-8).solve()
+        assert ref.status == mq.Status.SOLVE_SUCCEEDED
+        cold_iters = ref.iter
+        h2 = HostMPCSolver(qp, print_level=40, tol=1e-8)
+        # map the user solution into internal coords via the std transform
+        info = h2.info
+        n, m = h2.prob.n, h2.prob.m
+        x_int = np.zeros(n)
+        x_int[: info.n_kept] = ref.solution[info.keep_idx]
+        s = h2.std.A[:, : info.n_kept] @ x_int[: info.n_kept]
+        # slack block: A_int = [A_kept, -I] on inequality rows
+        if n > info.n_kept:
+            x_int[info.n_kept:] = np.asarray(
+                h2.std.A[info.ineq_rows][:, : info.n_kept]
+                @ x_int[: info.n_kept]).ravel()
+        y_int = ref.multipliers * info.obj_scale / np.maximum(
+            info.con_scale, 1e-300)
+        h2.set_initial_point_internal(
+            x_int, y_int, np.ones(n), np.ones(n))
+        warm = h2.solve()
+        assert warm.status == mq.Status.SOLVE_SUCCEEDED
+        assert warm.iter <= cold_iters
+        assert warm.objective == pytest.approx(ref.objective, abs=1e-6)
