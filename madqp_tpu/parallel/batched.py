@@ -219,8 +219,10 @@ class BatchedMPCSolver:
         # Synchronize by fetching a scalar: block_until_ready does not
         # synchronize through the tunneled (axon PJRT) backend — only a
         # device_get observably completes the computation, so timed
-        # callers would otherwise under-report wall time.
-        jax.device_get(final.k)
+        # callers would otherwise under-report wall time.  Reduce first:
+        # the reduction's output is fully replicated, so the fetch also
+        # works when final.k spans non-addressable devices (multi-process).
+        jax.device_get(final.k.max())
         return final
 
     def solve_all(self) -> List[ExecutionStats]:
