@@ -160,7 +160,10 @@ class IPMOptions:
     # n=20k LP); "krylov" keeps the f32 pivot-floored factorization as a
     # PRECONDITIONER for f64 conjugate gradients on the SPD reduced system
     # (normal equations / condensed), so only matvecs run in f64
-    # (benchmarks/exp_endgame_krylov.py for the keep/reject data).
+    # (benchmarks/exp_endgame_krylov.py for the keep/reject data);
+    # "host" hands the f32 phase's terminal iterate to the host C++ LDL
+    # solver (warm start) so the f64 XLA program never compiles at all —
+    # the cheapest cold-start option on new sparse patterns.
     endgame: str = "f64"
     krylov_tol: float = 1e-12   # PCG relative-residual target
     krylov_maxit: int = 64
@@ -260,4 +263,8 @@ def load_options(**kwargs) -> Tuple[IPMOptions, dict]:
     for key in ("print_level", "file_print_level"):
         if known.get(key) == 0:
             known[key] = 100
+    if known.get("endgame", "f64") not in ("f64", "krylov", "host"):
+        raise ValueError(
+            f"endgame={known['endgame']!r} is not supported; "
+            "valid values: 'f64', 'krylov', 'host'")
     return IPMOptions(**known), ignored
