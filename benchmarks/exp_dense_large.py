@@ -43,8 +43,12 @@ def time_fn(fn, make_args, reps=3):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sizes", default="2048,4096,8192")
-    ap.add_argument("--solve", type=int, default=4096)
+    ap.add_argument("--sizes", default="2048,4096,8192",
+                    help="factorization sizes; '' skips the section")
+    ap.add_argument("--solve", default="4096",
+                    help="comma list of n[:backend] full solves, e.g. "
+                         "4096,4096:blocked,8192 (backend default 'dense' "
+                         "= XLA cholesky)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -61,7 +65,7 @@ def main():
     print(f"device: {jax.devices()[0]}")
     results = {}
     with jax.default_matmul_precision("highest"):
-        for n in [int(s) for s in args.sizes.split(",")]:
+        for n in [int(s) for s in args.sizes.split(",") if s]:
             rng = np.random.default_rng(0)
             P = rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n)
             F0 = P @ P.T + 2.0 * np.eye(n, dtype=np.float32)
@@ -93,45 +97,52 @@ def main():
                           "compile_chol_s": round(comp_chol, 1)}
 
         if args.solve:
-            import madqp_tpu as mq
-
-            n = args.solve
-            m = n // 4
-            qp = mq.random_qp(n, m, seed=0, ineq=True)
-            t0 = time.time()
-            st = mq.solve(
-                qp, print_level=40, tol=1e-8,
-                factorization_dtype="float32", max_refine_steps=1,
-                step_rule=mq.AdaptiveStep(0.995),
-                regularization=mq.FixedRegularization(1e-8, -1e-8),
-                linear_solver="blocked",
-            )
-            cold = time.time() - t0
             import dataclasses
 
-            qp2 = dataclasses.replace(qp, c=qp.c * (1.0 + 1e-6))
-            t0 = time.time()
-            st2 = mq.solve(
-                qp2, print_level=40, tol=1e-8,
-                factorization_dtype="float32", max_refine_steps=1,
-                step_rule=mq.AdaptiveStep(0.995),
-                regularization=mq.FixedRegularization(1e-8, -1e-8),
-                linear_solver="blocked",
-            )
-            warm = time.time() - t0
-            print(f"solve n={n}: {st2.status.name} iters={st2.iter} "
-                  f"warm {warm:.2f}s ({st2.iter/warm:.2f} iters/s; "
-                  f"cold {cold:.1f}s)")
-            results["solve"] = {
-                "n": n, "m": m, "iters": st2.iter,
-                "warm_s": round(warm, 3),
-                "iters_per_s": round(st2.iter / warm, 3),
-                "cold_s": round(cold, 1),
-                "status": st2.status.name,
-            }
+            import madqp_tpu as mq
+
+            for spec in str(args.solve).split(","):
+                if not spec:
+                    continue
+                if ":" in spec:
+                    size, backend = spec.split(":")
+                else:
+                    size, backend = spec, "dense"
+                n = int(size)
+                m = n // 4
+                qp = mq.random_qp(n, m, seed=0, ineq=True)
+                kw = dict(
+                    print_level=40, tol=1e-8,
+                    factorization_dtype="float32", max_refine_steps=1,
+                    step_rule=mq.AdaptiveStep(0.995),
+                    regularization=mq.FixedRegularization(1e-8, -1e-8),
+                    linear_solver=backend,
+                )
+                t0 = time.time()
+                st = mq.solve(qp, **kw)
+                cold = time.time() - t0
+                qp2 = dataclasses.replace(qp, c=qp.c * (1.0 + 1e-6))
+                t0 = time.time()
+                st2 = mq.solve(qp2, **kw)
+                warm = time.time() - t0
+                print(f"solve n={n} ({backend}): {st2.status.name} "
+                      f"iters={st2.iter} warm {warm:.2f}s "
+                      f"({st2.iter/warm:.2f} iters/s; cold {cold:.1f}s)")
+                results[f"solve_{n}_{backend}"] = {
+                    "n": n, "m": m, "backend": backend, "iters": st2.iter,
+                    "warm_s": round(warm, 3),
+                    "iters_per_s": round(st2.iter / warm, 3),
+                    "cold_s": round(cold, 1),
+                    "status": st2.status.name,
+                }
 
     out = "benchmarks/results/dense_large.json"
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    if os.path.exists(out):  # merge: partial runs keep earlier sections
+        with open(out) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(out, "w") as f:
         json.dump(results, f, indent=1, default=str)
     print(f"wrote {out}")

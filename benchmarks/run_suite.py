@@ -169,6 +169,10 @@ def main():
                     help="checkpoint/resume: skip instances already recorded "
                          "in --out and append new results (SURVEY §5.4)")
     ap.add_argument("--exclude", default="", help="comma-separated instance names")
+    ap.add_argument("--exclude-preset", default="", choices=["", "netlib", "mm"],
+                    help="concrete exclusion list for the real suites "
+                         "(fetch_suites.EXCLUSIONS; reference "
+                         "scripts/excluded_problems.jl)")
     args = ap.parse_args()
 
     options = dict(
@@ -192,6 +196,10 @@ def main():
     if args.measure_ls:
         options["measure_linear_solver"] = True
     excluded = set(filter(None, args.exclude.split(",")))
+    if args.exclude_preset:
+        from fetch_suites import EXCLUSIONS
+
+        excluded |= set(EXCLUSIONS[args.exclude_preset])
 
     instances = []
     if args.dir:
