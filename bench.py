@@ -143,7 +143,49 @@ def main():
         result["detail"]["batched"] = _batched_throughput(mq)
     except Exception as e:  # pragma: no cover - defensive
         result["detail"]["batched_error"] = repr(e)
+    # Roofline accounting (VERDICT #3): live f32 factorization MFU/HBM
+    # fractions at n=2048, plus the committed large-n sweep if present
+    # (benchmarks/results/dense_large.json, measured on the real chip).
+    try:
+        result["detail"]["roofline"] = _roofline(jax)
+    except Exception as e:  # pragma: no cover - defensive
+        result["detail"]["roofline_error"] = repr(e)
     print(json.dumps(result))
+
+
+def _roofline(jax, n=2048):
+    import jax.numpy as jnp
+
+    from madqp_tpu.utils.roofline import (dense_ldl_bytes, dense_ldl_flops,
+                                          roofline_report)
+
+    rng = np.random.default_rng(0)
+    P = rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n)
+    F = jnp.asarray(P @ P.T + 2.0 * np.eye(n, dtype=np.float32))
+    with jax.default_matmul_precision("highest"):
+        f = jax.jit(jnp.linalg.cholesky)
+        jax.device_get(f(F).ravel()[:1])  # compile
+        best = float("inf")
+        for i in range(1, 4):
+            t0 = time.time()
+            jax.device_get(f(F * (1.0 + 1e-6 * i)).ravel()[:1])
+            best = min(best, time.time() - t0)
+    rep = roofline_report(dense_ldl_flops(n), dense_ldl_bytes(n, 4), best)
+    out = {"live_chol_n2048": rep}
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "results", "dense_large.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            sweep = json.load(fh)
+        out["committed_sweep"] = {
+            k: {b: {kk: v[b][kk] for kk in ("seconds", "gflops", "mfu",
+                                            "gbps", "hbm_frac")}
+                for b in ("blocked_ldl", "xla_cholesky") if b in v}
+            for k, v in sweep.items() if k in ("2048", "4096", "8192")
+        }
+    return out
 
 
 def _batched_throughput(mq, batch=512, n=32, m=16):
