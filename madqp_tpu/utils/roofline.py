@@ -70,6 +70,17 @@ def schedule_flops(bs) -> float:
     return total
 
 
+def schedule_bytes(bs, dtype_bytes: int) -> float:
+    """HBM traffic lower bound of a supernodal schedule: each bucketed
+    front reads+writes its (w+u) x w panel and reads+writes its u x u
+    extend-add update block once."""
+    total = 0.0
+    for it in bs.schedule:
+        w, u = it.w_pad, it.u_pad
+        total += it.count * dtype_bytes * (2.0 * (w + u) * w + 2.0 * u * u)
+    return total
+
+
 def roofline_report(flops: float, bytes_moved: float, seconds: float,
                     dtype: str = "float32", device=None) -> dict:
     """Achieved GFLOP/s + GB/s and their fractions of the chip peaks."""
