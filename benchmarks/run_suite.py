@@ -154,6 +154,10 @@ def main():
                     help="KKT formulation for --backend=sparse-device")
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 factorization + f64 refinement (device path)")
+    ap.add_argument("--endgame", default="", choices=["", "f64", "krylov", "host"],
+                    help="two-phase endgame for --backend=sparse-device "
+                         "--mixed-precision ('host' skips the emulated-f64 "
+                         "XLA compile entirely; see utils/options.py)")
     ap.add_argument("--measure-ls", action="store_true",
                     help="measure linear_solver_time (extra timed "
                          "factorize/backsolve after each solve)")
@@ -193,6 +197,8 @@ def main():
         options["pad_mode"] = "bucket"
     if args.mixed_precision:
         options.update(factorization_dtype="float32", max_refine_steps=1)
+    if args.endgame and args.backend == "sparse-device":
+        options["endgame"] = args.endgame
     if args.measure_ls:
         options["measure_linear_solver"] = True
     excluded = set(filter(None, args.exclude.split(",")))
