@@ -222,59 +222,135 @@ class MPCKernel:
             d, x, lb, ub, p.has_lb, p.has_ub, zl, zu, mu, rule.gamma_f
         )
 
-    # -- Gondzio multi-corrections (src/solver.jl:200-251) -------------------
+    # -- fused direction computation ------------------------------------------
+    #
+    # Predictor, Mehrotra corrector, and the Gondzio multi-corrections
+    # (reference src/solver.jl:200-251,294-324) all consist of "build a
+    # phase-specific RHS, run one KKT backsolve, fold the result into the
+    # direction".  They are fused into ONE lax.scan whose body contains the
+    # single traced backsolve walk: on the sparse supernodal paths each
+    # traced walk costs tens of seconds of XLA compile (the f64 endgame
+    # program paid 168 s with two walks on the banded-20k pattern —
+    # benchmarks/exp_compile_tpu_granular.py), so the per-iteration walk
+    # count directly sets the cold-compile bill.  The phase-specific
+    # elementwise work (RHS builders, ratio tests, accept logic) lives in
+    # lax.switch branches — cheap to trace, scalar-free to run.
 
-    def _gondzio(self, p, factors, d, corr_lb, corr_ub, mu_curr, g, jacl,
-                 c_res, x, lb, ub, zl, zu, del_w, del_c):
+    def _direction_scan(self, p, factors, g, jacl, c_res, mu_curr, n_bounded,
+                        x, lb, ub, zl, zu, del_w, del_c):
+        """Returns (d, mu_new, failed): the search direction after predictor
+        + corrector + max_ncorr Gondzio corrections, the updated barrier,
+        and the accumulated hard-failure flag."""
         masks = (p.has_lb, p.has_ub)
-        alpha_p, alpha_d = K.fraction_to_boundary(
-            d, x, lb, ub, *masks, zl, zu, _GONDZIO_TAU
-        )
-        active = jnp.asarray(True)
-        failed = jnp.asarray(False)
+        opt = self.opts
+        bar = opt.barrier_update
+        zero = jnp.asarray(0.0, self.dtype)
+        zero_n = jnp.zeros(p.n, self.dtype)
+        d0 = K.KKTVec(x=zero_n, y=jnp.zeros(p.m, self.dtype),
+                      zl=zero_n, zu=zero_n)
 
-        # One lax.scan step per correction: the body (one backsolve walk)
-        # is traced ONCE regardless of max_ncorr — with max_ncorr=3 (the
-        # reference benchmark setting) the unrolled form tripled the
-        # backsolve trace count (exp_compile_breakdown.py).
-        def step(carry, _):
-            d, corr_lb, corr_ub, alpha_p, alpha_d, active, failed = carry
-            tilde_p = jnp.minimum(alpha_p + _GONDZIO_DELTA, 1.0)
-            tilde_d = jnp.minimum(alpha_d + _GONDZIO_DELTA, 1.0)
+        # Pre-solve branches: carry -> (rhs, cand_lb, cand_ub, mu_new).
+        def pre_predictor(c):
+            d, corr_lb, corr_ub, mu_new, a_p, a_d, active, failed = c
+            rhs = K.predictor_rhs(g, jacl, c_res, x, lb, ub, *masks, zl, zu)
+            return rhs, corr_lb, corr_ub, mu_new
+
+        def pre_corrector(c):
+            d, corr_lb, corr_ub, mu_new, a_p, a_d, active, failed = c
+            a_aff_p, a_aff_d = K.fraction_to_boundary(
+                d, x, lb, ub, *masks, zl, zu, 1.0
+            )
+            mu_aff = K.affine_complementarity_measure(
+                d, x, lb, ub, *masks, zl, zu, a_aff_p, a_aff_d
+            )
+            cand_lb, cand_ub = K.mehrotra_correction(d, *masks)
+            mu = K.mehrotra_barrier(
+                mu_curr, mu_aff, n_bounded, opt.mu_min,
+                bar.sigma_min, bar.sigma_max,
+            )
+            rhs = K.correction_rhs(
+                g, jacl, c_res, x, lb, ub, *masks, zl, zu, mu, cand_lb, cand_ub
+            )
+            return rhs, cand_lb, cand_ub, mu
+
+        def pre_gondzio(c):
+            d, corr_lb, corr_ub, mu_new, a_p, a_d, active, failed = c
+            tilde_p = jnp.minimum(a_p + _GONDZIO_DELTA, 1.0)
+            tilde_d = jnp.minimum(a_d + _GONDZIO_DELTA, 1.0)
             ga = K.affine_complementarity_measure(
                 d, x, lb, ub, *masks, zl, zu, tilde_p, tilde_d
             )
             mu_g = (ga / jnp.maximum(mu_curr, 1e-300)) ** 2 * ga  # Eq. (12)
-            new_lb, new_ub = K.gondzio_extra_correction(
+            cand_lb, cand_ub = K.gondzio_extra_correction(
                 d, x, lb, ub, *masks, zl, zu, corr_lb, corr_ub,
                 tilde_p, tilde_d, _GONDZIO_BETA_MIN, _GONDZIO_BETA_MAX, mu_g,
             )
-            p_rhs = K.correction_rhs(
-                g, jacl, c_res, x, lb, ub, *masks, zl, zu, mu_g, new_lb, new_ub
+            rhs = K.correction_rhs(
+                g, jacl, c_res, x, lb, ub, *masks, zl, zu, mu_g,
+                cand_lb, cand_ub,
             )
-            d_new, ok = self.solve_system(
-                p, factors, p_rhs, x, lb, ub, zl, zu, del_w, del_c
+            return rhs, cand_lb, cand_ub, mu_new
+
+        # Post-solve branches: fold d_new into the carry.
+        def post_predictor(args):
+            c, cand_lb, cand_ub, mu, d_new, ok = args
+            d, corr_lb, corr_ub, mu_new, a_p, a_d, active, failed = c
+            return (d_new, corr_lb, corr_ub, mu_new, a_p, a_d, active,
+                    failed | ~ok)
+
+        def post_corrector(args):
+            c, cand_lb, cand_ub, mu, d_new, ok = args
+            d, corr_lb, corr_ub, mu_new, a_p, a_d, active, failed = c
+            # Seed the Gondzio loop's running step lengths.
+            a_p, a_d = K.fraction_to_boundary(
+                d_new, x, lb, ub, *masks, zl, zu, _GONDZIO_TAU
             )
+            return (d_new, cand_lb, cand_ub, mu, a_p, a_d, active,
+                    failed | ~ok)
+
+        def post_gondzio(args):
+            c, cand_lb, cand_ub, mu, d_new, ok = args
+            d, corr_lb, corr_ub, mu_new, a_p, a_d, active, failed = c
             hat_p, hat_d = K.fraction_to_boundary(
                 d_new, x, lb, ub, *masks, zl, zu, _GONDZIO_TAU
             )
             accept = (
-                (hat_p >= _GONDZIO_ACCEPT * alpha_p)
-                & (hat_d >= _GONDZIO_ACCEPT * alpha_d)
+                (hat_p >= _GONDZIO_ACCEPT * a_p)
+                & (hat_d >= _GONDZIO_ACCEPT * a_d)
                 & active
             )
             failed = failed | (active & ~ok)
             d = _tree_select(accept, d_new, d)
-            corr_lb = jnp.where(accept, new_lb, corr_lb)
-            corr_ub = jnp.where(accept, new_ub, corr_ub)
-            alpha_p = jnp.where(accept, hat_p, alpha_p)
-            alpha_d = jnp.where(accept, hat_d, alpha_d)
-            return (d, corr_lb, corr_ub, alpha_p, alpha_d, accept, failed), None
+            corr_lb = jnp.where(accept, cand_lb, corr_lb)
+            corr_ub = jnp.where(accept, cand_ub, corr_ub)
+            a_p = jnp.where(accept, hat_p, a_p)
+            a_d = jnp.where(accept, hat_d, a_d)
+            return (d, corr_lb, corr_ub, mu_new, a_p, a_d, accept, failed)
 
-        carry = (d, corr_lb, corr_ub, alpha_p, alpha_d, active, failed)
-        carry, _ = lax.scan(step, carry, None, length=self.opts.max_ncorr)
-        d, _, _, _, _, _, failed = carry
-        return d, failed
+        pres = [pre_predictor, pre_corrector]
+        posts = [post_predictor, post_corrector]
+        if opt.max_ncorr > 0:
+            pres.append(pre_gondzio)
+            posts.append(post_gondzio)
+
+        def step(carry, phase):
+            rhs, cand_lb, cand_ub, mu = lax.switch(phase, pres, carry)
+            d_new, ok = self.solve_system(
+                p, factors, rhs, x, lb, ub, zl, zu, del_w, del_c
+            )
+            carry = lax.switch(
+                phase, posts, (carry, cand_lb, cand_ub, mu, d_new, ok)
+            )
+            return carry, None
+
+        phases = jnp.asarray(
+            [0, 1] + [2] * opt.max_ncorr, jnp.int32
+        )
+        carry0 = (d0, zero_n, zero_n, mu_curr, zero, zero,
+                  jnp.asarray(True), jnp.asarray(False))
+        carry, _ = lax.scan(step, carry0, phases)
+        d, _, _, mu_new, _, _, _, failed = carry
+        return d, mu_new, failed
 
     # -- one MPC iteration (src/solver.jl:254-344) ---------------------------
 
@@ -359,24 +435,8 @@ class MPCKernel:
                     p, x, lb, ub, zl, zu, del_w, del_c
                 )
 
-            # Predictor (affine scaling).
-            with jax.named_scope("predictor"):
-                p_aff = K.predictor_rhs(
-                    g, jacl, c_res, x, lb, ub, *masks, zl, zu
-                )
-                d_aff, ok1 = self.solve_system(
-                    p, factors, p_aff, x, lb, ub, zl, zu, del_w, del_c
-                )
-            a_aff_p, a_aff_d = K.fraction_to_boundary(
-                d_aff, x, lb, ub, *masks, zl, zu, 1.0
-            )
-            mu_aff = K.affine_complementarity_measure(
-                d_aff, x, lb, ub, *masks, zl, zu, a_aff_p, a_aff_d
-            )
-            corr_lb, corr_ub = K.mehrotra_correction(d_aff, *masks)
-
-            # Barrier update.  The sigma-vs-1 gate is the traced count of
-            # bounded entries (see state.count_onesided rationale); with
+            # Barrier-gate count.  The sigma-vs-1 gate is the traced count
+            # of bounded entries (see state.count_onesided rationale); with
             # barrier_gate="one-sided" it reproduces the reference's gate
             # (src/kernels.jl:227-233: adaptive sigma only when one-sided
             # bounds exist) — see benchmarks/exp_barrier_gate.py.
@@ -386,30 +446,15 @@ class MPCKernel:
                              + jnp.sum(~p.has_lb & p.has_ub))
             else:
                 n_bounded = jnp.sum(p.has_lb) + jnp.sum(p.has_ub)
-            bar = self.opts.barrier_update
-            mu_new = K.mehrotra_barrier(
-                mu_curr, mu_aff, n_bounded, self.opts.mu_min,
-                bar.sigma_min, bar.sigma_max,
-            )
 
-            # Mehrotra corrector.
-            with jax.named_scope("corrector"):
-                p_corr = K.correction_rhs(
-                    g, jacl, c_res, x, lb, ub, *masks, zl, zu,
-                    mu_new, corr_lb, corr_ub,
+            # Predictor + Mehrotra corrector + Gondzio corrections, fused
+            # into one scanned backsolve (see _direction_scan).
+            with jax.named_scope("direction"):
+                d, mu_new, dir_failed = self._direction_scan(
+                    p, factors, g, jacl, c_res, mu_curr, n_bounded,
+                    x, lb, ub, zl, zu, del_w, del_c,
                 )
-                d, ok2 = self.solve_system(
-                    p, factors, p_corr, x, lb, ub, zl, zu, del_w, del_c
-                )
-            failed = (~fact_ok) | (~ok1) | (~ok2)
-
-            # Gondzio multi-corrections.
-            if self.opts.max_ncorr > 0:
-                d, gfail = self._gondzio(
-                    p, factors, d, corr_lb, corr_ub, mu_curr, g, jacl,
-                    c_res, x, lb, ub, zl, zu, del_w, del_c,
-                )
-                failed = failed | gfail
+            failed = (~fact_ok) | dir_failed
 
             # Step computation + iterate update.
             alpha_p, alpha_d = self._step_rule(p, d, x, lb, ub, zl, zu, mu_new)
