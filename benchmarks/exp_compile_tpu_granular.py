@@ -100,6 +100,21 @@ def main():
         kkt2 = DeviceSparseNormalKKT(std.A, fact_dtype=None)
         prob2 = prob._replace(idx=kkt2.device_idx())
         kern2 = MPCKernel(opts2, kkt=kkt2)
+        if len(sys.argv) > 2 and sys.argv[2] == "sub2":
+            # phase-2 subprogram granularity (where do the f64-emulation
+            # compile seconds go?)
+            fact2 = timed_aot("factorize (f64 plan)",
+                              lambda p_, d_: kkt2.factorize(p_, d_, -1e-8),
+                              prob2, pr)
+            factors2 = fact2(prob2, pr)
+            timed_aot("solve (1 backsolve, f64)",
+                      lambda f, r1, r2: kkt2.solve(f, r1, r2),
+                      factors2, jnp.ones(prob.n, dtype),
+                      jnp.ones(prob.m, dtype))
+            state2 = kern2.init_state_warm(
+                prob2, x0j, y0j, jnp.ones(prob.n, dtype),
+                jnp.ones(prob.n, dtype), lb, ub)
+            timed_aot("iteration (f64)", kern2.iteration, prob2, state2)
         timed_aot("solve_from_warm (phase-2 f64 full)", kern2.solve_from_warm,
                   prob2, x0j, y0j, jnp.ones(prob.n, dtype),
                   jnp.ones(prob.n, dtype), lb, ub)

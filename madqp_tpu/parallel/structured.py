@@ -476,7 +476,17 @@ def solve_two_stage(
         if mesh is None:
             solve = solve_jit
         else:
-            solve = jax.jit(kernel.solve_from)
+            # Replicate every leaf of the final state inside the program:
+            # GSPMD is free to leave while_loop carries sharded, and a
+            # sharded leaf cannot be fetched host-side on a multi-process
+            # mesh (spans non-addressable devices).
+            repl_out = _mod._REPLICATE_FN
+
+            def solve(pr, x0_, y0_, lb_, ub_):
+                return jax.tree.map(repl_out,
+                                    kernel.solve_from(pr, x0_, y0_, lb_, ub_))
+
+            solve = jax.jit(solve)
         t0 = time.time()
         final = jax.block_until_ready(solve(prob, x0, y0, lb, ub))
         wall = time.time() - t0

@@ -696,7 +696,10 @@ class MPCSolver:
                         + t_solve * (int(state.n_solve) - int(prev.n_solve))
                     )
                     self._ls_measured = True
-                if verbose:
+                if verbose and bool(prev.initialized):
+                    # the first call computes the starting point (state.py
+                    # `initialized`); the reference prints its first line at
+                    # iter 0 AFTER initialize! (src/solver.jl:274)
                     self.logger.print_iter(
                         k_off + int(prev.k),
                         float(state.obj_val) / scale,

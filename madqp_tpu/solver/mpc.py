@@ -237,10 +237,13 @@ class MPCKernel:
     # lax.switch branches — cheap to trace, scalar-free to run.
 
     def _direction_scan(self, p, factors, g, jacl, c_res, mu_curr, n_bounded,
-                        x, lb, ub, zl, zu, del_w, del_c):
+                        x, lb, ub, zl, zu, del_w, del_c,
+                        initialized):
         """Returns (d, mu_new, failed): the search direction after predictor
         + corrector + max_ncorr Gondzio corrections, the updated barrier,
-        and the accumulated hard-failure flag."""
+        and the accumulated hard-failure flag.  With initialized == False
+        the scan instead runs the two starting-point least-squares solves
+        (phases 2/3) through the same traced backsolve."""
         masks = (p.has_lb, p.has_ub)
         opt = self.opts
         bar = opt.barrier_update
@@ -327,11 +330,55 @@ class MPCKernel:
             a_d = jnp.where(accept, hat_d, a_d)
             return (d, corr_lb, corr_ub, mu_new, a_p, a_d, accept, failed)
 
-        pres = [pre_predictor, pre_corrector]
-        posts = [post_predictor, post_corrector]
+        # Starting-point phases (reference src/solver.jl:6-33), run by the
+        # FIRST iteration call (state.initialized == False) through the same
+        # scanned backsolve.  With zl = zu = 0 (the uninitialized state) the
+        # unreduced KKT degenerates exactly to the del_w-regularized
+        # least-squares system the reference factorizes for its starting
+        # point, so reduce_rhs/recover_bound_duals/kkt_mul are all
+        # consistent and refinement remains valid.
+        def pre_init_primal(c):
+            # rhs = (0, -c_res, 0, 0): primal least squares.
+            d, corr_lb, corr_ub, mu_new, a_p, a_d, active, failed = c
+            rhs = K.initial_primal_rhs(c_res, p.n, self.dtype)
+            return rhs, corr_lb, corr_ub, mu_new
+
+        def pre_init_dual(c):
+            # rhs = (-g, 0, 0, 0): dual least squares.
+            d, corr_lb, corr_ub, mu_new, a_p, a_d, active, failed = c
+            rhs = K.initial_dual_rhs(g, p.m, self.dtype)
+            return rhs, corr_lb, corr_ub, mu_new
+
+        def post_init_primal(args):
+            c, cand_lb, cand_ub, mu, d_new, ok = args
+            d, corr_lb, corr_ub, mu_new, a_p, a_d, active, failed = c
+            return (d._replace(x=d_new.x), corr_lb, corr_ub, mu_new,
+                    a_p, a_d, active, failed)
+
+        def post_init_dual(args):
+            c, cand_lb, cand_ub, mu, d_new, ok = args
+            d, corr_lb, corr_ub, mu_new, a_p, a_d, active, failed = c
+            return (d._replace(y=d_new.y), corr_lb, corr_ub, mu_new,
+                    a_p, a_d, active, failed)
+
+        def pre_noop(c):
+            d, corr_lb, corr_ub, mu_new, a_p, a_d, active, failed = c
+            return d0, corr_lb, corr_ub, mu_new
+
+        def post_noop(args):
+            c, *_ = args
+            return c
+
+        pres = [pre_predictor, pre_corrector, pre_init_primal, pre_init_dual]
+        posts = [post_predictor, post_corrector, post_init_primal,
+                 post_init_dual]
+        norm_ph = [0, 1]
+        init_ph = [2, 3]
         if opt.max_ncorr > 0:
-            pres.append(pre_gondzio)
-            posts.append(post_gondzio)
+            pres += [pre_gondzio, pre_noop]
+            posts += [post_gondzio, post_noop]
+            norm_ph += [4] * opt.max_ncorr
+            init_ph += [5] * opt.max_ncorr
 
         def step(carry, phase):
             rhs, cand_lb, cand_ub, mu = lax.switch(phase, pres, carry)
@@ -343,8 +390,10 @@ class MPCKernel:
             )
             return carry, None
 
-        phases = jnp.asarray(
-            [0, 1] + [2] * opt.max_ncorr, jnp.int32
+        phases = jnp.where(
+            initialized,
+            jnp.asarray(norm_ph, jnp.int32),
+            jnp.asarray(init_ph, jnp.int32),
         )
         carry0 = (d0, zero_n, zero_n, mu_curr, zero, zero,
                   jnp.asarray(True), jnp.asarray(False))
@@ -379,6 +428,7 @@ class MPCKernel:
         # TPU runtime and ordered callbacks deadlock inside while_loop.
 
         worst = jnp.maximum(jnp.maximum(inf_pr, inf_du), inf_compl)
+        initialized = state.initialized
         # Infeasibility signature (a detection the reference lacks,
         # SURVEY §4): dual side converged + primal infeasibility stuck +
         # diverging multipliers => primal infeasible; the mirrored
@@ -407,6 +457,10 @@ class MPCKernel:
                 jnp.where(state.k >= self.opts.max_iter, MAX_ITER, RUNNING),
             ),
         ).astype(jnp.int32)
+        # Before the starting point is computed the residuals above are
+        # measured at the raw pushed x0 — never a termination verdict.
+        new_status = jnp.where(initialized, new_status,
+                               jnp.int32(RUNNING))
 
         # Stall detection (opts.stall_exit > 0, static): an f32 phase that
         # has hit its precision floor burns iterations without progress and
@@ -415,13 +469,19 @@ class MPCKernel:
         # best max-infeasibility seen.
         if self.opts.stall_exit > 0:
             improved = worst < 0.9 * state.best_worst
-            stall_k = jnp.where(improved, jnp.int32(0), state.stall_k + 1)
+            stall_k = jnp.where(
+                improved | ~initialized, jnp.int32(0), state.stall_k + 1
+            )
             stalled = stall_k >= self.opts.stall_exit
             new_status = jnp.where(
                 (new_status == RUNNING) & stalled, STALLED, new_status
             ).astype(jnp.int32)
             state = state._replace(
-                best_worst=jnp.minimum(worst, state.best_worst),
+                best_worst=jnp.where(
+                    initialized,
+                    jnp.minimum(worst, state.best_worst),
+                    state.best_worst,
+                ),
                 stall_k=stall_k,
             )
 
@@ -430,6 +490,14 @@ class MPCKernel:
 
         def work(state: IPMState) -> IPMState:
             del_w, del_c, reg_p, reg_d = self._update_regularization(state)
+            # First call (starting point): keep the init-regularization
+            # seeds the cheap init_state stored (reference src/solver.jl:16-18
+            # factorizes the del_w-seeded system; policies only start
+            # evolving from iteration 0).
+            del_w = jnp.where(initialized, del_w, state.del_w)
+            del_c = jnp.where(initialized, del_c, state.del_c)
+            reg_p = jnp.where(initialized, reg_p, state.reg_p)
+            reg_d = jnp.where(initialized, reg_d, state.reg_d)
             with jax.named_scope("kkt_factorize"):
                 factors, del_w, del_c, fact_ok = self.factorize_with_retry(
                     p, x, lb, ub, zl, zu, del_w, del_c
@@ -447,12 +515,13 @@ class MPCKernel:
             else:
                 n_bounded = jnp.sum(p.has_lb) + jnp.sum(p.has_ub)
 
-            # Predictor + Mehrotra corrector + Gondzio corrections, fused
-            # into one scanned backsolve (see _direction_scan).
+            # Predictor + Mehrotra corrector + Gondzio corrections (or, on
+            # the first call, the starting-point least-squares solves),
+            # fused into one scanned backsolve (see _direction_scan).
             with jax.named_scope("direction"):
                 d, mu_new, dir_failed = self._direction_scan(
                     p, factors, g, jacl, c_res, mu_curr, n_bounded,
-                    x, lb, ub, zl, zu, del_w, del_c,
+                    x, lb, ub, zl, zu, del_w, del_c, initialized,
                 )
             failed = (~fact_ok) | dir_failed
 
@@ -477,9 +546,34 @@ class MPCKernel:
                 n_fact=state.n_fact + 1,
                 n_solve=state.n_solve + 2 + self.opts.max_ncorr,
             )
-            return _tree_select(
+            new_state = _tree_select(
                 failed, state._replace(status=jnp.int32(STEP_ERROR)), new_state
             )
+
+            # First call: finish the Mehrotra starting point instead
+            # (reference src/solver.jl:37-123 — bound-dual init from the
+            # dual residual, positivity + second-order shifts, Ipopt
+            # projection).  Solve failures are not fatal here, matching
+            # the original init path (NaNs would surface at iteration 0).
+            xi = x + d.x
+            yi = d.y
+            r = g + self.jtprod(p, yi)
+            ones_n = jnp.ones(p.n, self.dtype)
+            zli, zui = K.init_bound_duals(r, *masks, ones_n, ones_n)
+            xi, zli, zui = K.mehrotra_positivity_shift(
+                xi, lb, ub, *masks, zli, zui
+            )
+            xi = K.project_bound_fac(xi, lb, ub, *masks, self.opts.bound_fac)
+            init_state = state._replace(
+                x=xi, y=yi, zl=zli, zu=zui,
+                mu=jnp.asarray(self.opts.mu_init, self.dtype),
+                del_w=del_w, del_c=del_c, reg_p=reg_p, reg_d=reg_d,
+                obj_val=self.objective(p, xi),
+                n_fact=state.n_fact + 1,
+                n_solve=state.n_solve + 2,
+                initialized=jnp.asarray(True),
+            )
+            return _tree_select(initialized, new_state, init_state)
 
         return lax.cond(new_status == RUNNING, work, finish, state)
 
@@ -521,9 +615,21 @@ class MPCKernel:
             k=jnp.int32(0), n_fact=jnp.int32(0), n_solve=jnp.int32(0),
             status=jnp.int32(RUNNING),
             best_worst=jnp.asarray(jnp.inf, dt), stall_k=jnp.int32(0),
+            initialized=jnp.asarray(True),
         )
 
     def init_state(self, p: ProblemArrays, x0, y0, lb0, ub0) -> IPMState:
+        """Cheap pre-loop state: bound relaxation + interior push only.
+
+        The Mehrotra starting point itself (del_w-seeded factorization, two
+        least-squares KKT solves, bound-dual init, shifts, projection —
+        reference src/solver.jl:6-123) runs inside the FIRST `iteration`
+        call, gated on `initialized`, so a full solve traces exactly one
+        factorize walk and one backsolve walk (the traced-walk count sets
+        the cold-compile bill on the sparse paths,
+        benchmarks/exp_compile_tpu_granular.py).  With zl = zu = 0 the
+        in-loop sigma diagonal is exactly del_w, so the first call's
+        factorization IS the reference's starting-point system."""
         masks = (p.has_lb, p.has_ub)
         dt = self.dtype
         opt = self.opts
@@ -532,58 +638,17 @@ class MPCKernel:
         x = K.push_inside_bounds(
             x0, lb, ub, *masks, opt.bound_push, opt.bound_fac
         )
-        y = y0
         zero_n = jnp.zeros(p.n, dt)
 
         del_w, del_c, reg_p, reg_d = self._init_regularization()
 
         g = self.gradient(p, x)
-        c_res = self.cons_residual(p, x)
         norm_b = K._inf_norm(p.b)
         norm_c = K._inf_norm(g)
 
-        # Initial KKT: pr_diag = del_w exactly (reference src/solver.jl:16-18
-        # — no barrier terms in the starting-point system).
-        # ... retried with escalation like the in-loop factorization.
-        def make_init_factors(dw, dc):
-            f = self.kkt.factorize(p, jnp.full(p.n, 1.0, dt) * dw, dc)
-            return f, self.kkt.factor_ok(f)
-
-        factors, del_w, del_c, _ = self._retry_loop(
-            make_init_factors, del_w, del_c
-        )
-
-        # Steps 1+2 share the factors and are independent — run them as ONE
-        # vmapped 2-RHS backsolve so the schedule is traced once (each
-        # traced walk costs seconds of compile on the sparse paths).
-        # Step 1: primal least squares x += dx with A dx ~ (b - A x).
-        # Step 2: dual least squares A' y ~ -g.
-        # KKTs that cannot be vmapped (e.g. SchurKKT's explicitly-sharded
-        # einsums) run the two solves sequentially.
-        if getattr(self.kkt, "supports_vmap_solve", True):
-            rx2 = jnp.stack([zero_n, -g])
-            ry2 = jnp.stack([-c_res, jnp.zeros(p.m, dt)])
-            dx2, dy2 = jax.vmap(
-                lambda rx, ry: self.kkt.solve(factors, rx, ry)
-            )(rx2, ry2)
-            x = x + dx2[0]
-            y = dy2[1]
-        else:
-            dx, _ = self.kkt.solve(factors, zero_n, -c_res)
-            x = x + dx
-            _, dy = self.kkt.solve(factors, -g, jnp.zeros(p.m, dt))
-            y = dy
-        # Step 3: bound duals from the dual residual r = g + A'y.
-        r = g + self.jtprod(p, y)
-        ones_n = jnp.ones(p.n, dt)
-        zl, zu = K.init_bound_duals(r, *masks, ones_n, ones_n)
-        # Positivity + second-order shifts, then Ipopt projection.
-        x, zl, zu = K.mehrotra_positivity_shift(x, lb, ub, *masks, zl, zu)
-        x = K.project_bound_fac(x, lb, ub, *masks, opt.bound_fac)
-
         zero = jnp.asarray(0.0, dt)
         return IPMState(
-            x=x, y=y, zl=zl, zu=zu, lb=lb, ub=ub,
+            x=x, y=y0, zl=zero_n, zu=zero_n, lb=lb, ub=ub,
             d=K.KKTVec(x=zero_n, y=jnp.zeros(p.m, dt), zl=zero_n, zu=zero_n),
             mu=jnp.asarray(opt.mu_init, dt),
             del_w=del_w, del_c=del_c, reg_p=reg_p, reg_d=reg_d,
@@ -591,9 +656,10 @@ class MPCKernel:
             obj_val=self.objective(p, x),
             inf_pr=zero, inf_du=zero, inf_compl=zero,
             d_norm=zero, norm_b=norm_b, norm_c=norm_c,
-            k=jnp.int32(0), n_fact=jnp.int32(1), n_solve=jnp.int32(2),
+            k=jnp.int32(0), n_fact=jnp.int32(0), n_solve=jnp.int32(0),
             status=jnp.int32(RUNNING),
             best_worst=jnp.asarray(jnp.inf, dt), stall_k=jnp.int32(0),
+            initialized=jnp.asarray(False),
         )
 
     # -- drivers -------------------------------------------------------------

@@ -106,6 +106,13 @@ class IPMState(NamedTuple):
     # the count of consecutive iterations without meaningful improvement.
     best_worst: jax.Array
     stall_k: jax.Array  # int32
+    # False until the Mehrotra starting point (3 least-squares KKT solves,
+    # reference src/solver.jl:6-125) has been computed.  The starting-point
+    # work runs INSIDE the first `iteration` call (gated by this flag) so a
+    # full solve traces exactly one factorize walk and one backsolve walk —
+    # on the sparse supernodal paths each traced walk costs tens of seconds
+    # of XLA compile (benchmarks/exp_compile_tpu_granular.py).
+    initialized: jax.Array  # bool
 
 
 def problem_to_device(std: StandardQP, dtype=jnp.float64) -> tuple[ProblemArrays, jax.Array, jax.Array]:
