@@ -440,6 +440,11 @@ class MPCSolver:
         # reference's host-side print loop.
         use_python_loop = (
             self.opts.loop_mode == "python"
+            # 'auto' = host-stepped on the pattern-specific sparse paths:
+            # the while-loop wrapper costs far more XLA compile than the
+            # iteration program it wraps (see options.loop_mode).
+            or (self.opts.loop_mode == "auto"
+                and getattr(self, "_sparse", False))
             or self.opts.print_level <= INFO
             # wall-time limits need host-side stepping: the jitted solve is
             # one uninterruptible XLA call

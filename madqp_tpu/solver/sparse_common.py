@@ -247,6 +247,33 @@ def get_sparse_kernel(kind: str, fingerprint: str, opts, make_kkt):
     return kkt, kernel, jits
 
 
+def stepped_solve(jits, prob, x0, y0, lb, ub, warm=None):
+    """Host-stepped solve: dispatch the jitted `iteration` program per step
+    instead of compiling one lax.while_loop mega-program.
+
+    Cold-compile economics on the sparse supernodal paths (measured,
+    benchmarks/exp_compile_tpu_granular.py, TPU v5e): the while-loop
+    wrapper costs FAR more XLA compile than the iteration program it wraps
+    (grid-20k phase-1: solve_from 125.7 s vs iteration 56.1 s + init
+    1.2 s; banded-20k: 39.0 s vs 17.2 + 1.4), while host stepping adds
+    only a per-iteration dispatch + status readback (~40 ms through the
+    tunneled backend, microseconds on a local PJRT runtime).  Break-even
+    is ~50 same-pattern solves, so stepping is the default for the
+    pattern-specific sparse paths (options.loop_mode='auto'); pass
+    loop_mode='jit' to force the single-program mode for hot re-solve
+    loops."""
+    import jax
+
+    if warm is not None:
+        zl0, zu0 = warm
+        state = jits["warm_init"](prob, x0, y0, zl0, zu0, lb, ub)
+    else:
+        state = jits["init"](prob, x0, y0, lb, ub)
+    while int(jax.device_get(state.status)) == 0:  # state.RUNNING
+        state = jits["iter"](prob, state)
+    return state
+
+
 def start_phase2_overlap(kernel_for, opts2, dummy_args):
     """Build + AOT-compile the phase-2 warm_solve on a background thread.
 

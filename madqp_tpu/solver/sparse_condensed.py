@@ -321,7 +321,7 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
     from ..utils import load_options
 
     from .sparse_common import (canonical_coo_vals, get_sparse_kernel,
-                                pattern_fingerprint)
+                                pattern_fingerprint, stepped_solve)
 
     opts, _ = load_options(**options)
     if eq_relax is None:

@@ -345,7 +345,7 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     from ..utils import load_options
 
     from .sparse_common import (canonical_coo_vals, get_sparse_kernel,
-                                pattern_fingerprint)
+                                pattern_fingerprint, stepped_solve)
 
     opts, _ = load_options(**options)
     std, info, x0, y0 = build_standard_form_sparse(
@@ -415,9 +415,10 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     x0j = jnp.asarray(x0, dtype)
     y0j = jnp.asarray(y0, dtype)
     host_endgame = two_phase and opts.endgame == "host"
+    stepped = opts.loop_mode in ("auto", "python")
     with jax.default_matmul_precision("highest"):
         finish2 = None
-        if two_phase and not host_endgame:
+        if two_phase and not host_endgame and not stepped:
             # Compile the endgame on a background thread while phase 1
             # traces/compiles/runs (sparse_common.start_phase2_overlap).
             from .sparse_common import start_phase2_overlap
@@ -425,9 +426,12 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
             ones_n = jnp.ones_like(x0j)
             finish2 = start_phase2_overlap(
                 kernel_for, opts2, (prob, x0j, y0j, ones_n, ones_n, lb, ub))
-        final = jax.block_until_ready(
-            jits["solve"](prob, x0j, y0j, lb, ub)
-        )
+        if stepped:
+            final = stepped_solve(jits, prob, x0j, y0j, lb, ub)
+        else:
+            final = jax.block_until_ready(
+                jits["solve"](prob, x0j, y0j, lb, ub)
+            )
         extra = 0
         if host_endgame:
             # Endgame on the HOST C++ LDL path, warm-started from the f32
@@ -443,9 +447,15 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
             # refactorization or f64 PCG preconditioned by the f32 factor
             # (options.endgame="krylov").
             extra = int(final.k)
-            final = jax.block_until_ready(
-                finish2(prob, final.x, final.y, final.zl, final.zu, lb, ub)
-            )
+            if stepped:
+                _, _, jits2 = kernel_for(opts2)
+                final = stepped_solve(jits2, prob, final.x, final.y, lb, ub,
+                                      warm=(final.zl, final.zu))
+            else:
+                final = jax.block_until_ready(
+                    finish2(prob, final.x, final.y, final.zl, final.zu,
+                            lb, ub)
+                )
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall, extra_iters=extra,
                         std=std)

@@ -415,7 +415,7 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
             return solve_sparse_condensed(qp, order=order, **options)
 
     from .sparse_common import (canonical_coo_vals, get_sparse_kernel,
-                                pattern_fingerprint)
+                                pattern_fingerprint, stepped_solve)
 
     opts, _ = load_options(**options)
     std, info, x0, y0 = build_standard_form_sparse(
@@ -477,23 +477,27 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
     # TPU f32 matmuls default to bf16-pass precision — fatal for an f32
     # factorization.  Force full-f32 accumulation while tracing the solve.
     host_endgame = two_phase and opts.endgame == "host"
+    stepped = opts.loop_mode in ("auto", "python")
     with jax.default_matmul_precision("highest"):
         finish2 = None
-        if two_phase and not host_endgame:
-            # Overlap the endgame compile with phase 1 (see sparse_lp).
+        if two_phase and opts2 is not None and opts2.krylov_solve:
             # The augmented KKT has no SPD reduction, so endgame="krylov"
             # falls back to the f64 refactorization here.
+            opts2 = dataclasses.replace(
+                opts2, krylov_solve=False, factorization_dtype="")
+        if two_phase and not host_endgame and not stepped:
+            # Overlap the endgame compile with phase 1 (see sparse_lp).
             from .sparse_common import start_phase2_overlap
 
-            if opts2.krylov_solve:
-                opts2 = dataclasses.replace(
-                    opts2, krylov_solve=False, factorization_dtype="")
             ones_n = jnp.ones_like(x0j)
             finish2 = start_phase2_overlap(
                 kernel_for, opts2, (prob, x0j, y0j, ones_n, ones_n, lb, ub))
-        final = jax.block_until_ready(
-            jits["solve"](prob, x0j, y0j, lb, ub)
-        )
+        if stepped:
+            final = stepped_solve(jits, prob, x0j, y0j, lb, ub)
+        else:
+            final = jax.block_until_ready(
+                jits["solve"](prob, x0j, y0j, lb, ub)
+            )
         extra = 0
         if host_endgame:
             return _host_endgame(qp, opts, final, info, std, t0,
@@ -501,9 +505,15 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
         if two_phase:
             # f64 endgame warm-started from the f32 phase (see sparse_lp).
             extra = int(final.k)
-            final = jax.block_until_ready(
-                finish2(prob, final.x, final.y, final.zl, final.zu, lb, ub)
-            )
+            if stepped:
+                _, _, jits2 = kernel_for(opts2)
+                final = stepped_solve(jits2, prob, final.x, final.y, lb, ub,
+                                      warm=(final.zl, final.zu))
+            else:
+                final = jax.block_until_ready(
+                    finish2(prob, final.x, final.y, final.zl, final.zu,
+                            lb, ub)
+                )
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall, extra_iters=extra,
                         std=std)

@@ -229,8 +229,13 @@ class IPMOptions:
     dtype: str = "float64"
     factorization_dtype: str = ""  # "" = same as dtype
     # Execution mode: "jit" runs the whole solve in one lax.while_loop;
-    # "python" steps iterations from the host (debuggable, prints eagerly).
-    loop_mode: str = "jit"
+    # "python" steps the jitted iteration from the host (debuggable, prints
+    # eagerly); "auto" = host-stepped on the pattern-specific sparse device
+    # paths (the while-loop wrapper costs far more XLA compile than the
+    # iteration program it wraps — grid-20k: 125.7 s vs 56.1 s — while
+    # stepping adds only ~40 ms dispatch per iteration through the tunneled
+    # backend; break-even ~50 same-pattern solves), "jit" elsewhere.
+    loop_mode: str = "auto"
     # Shape bucketing for suite runs (SURVEY §7.3: ragged suites force
     # recompilation): "bucket" pads the internal problem to power-of-two
     # shape buckets so instances share compiled executables.
@@ -267,4 +272,8 @@ def load_options(**kwargs) -> Tuple[IPMOptions, dict]:
         raise ValueError(
             f"endgame={known['endgame']!r} is not supported; "
             "valid values: 'f64', 'krylov', 'host'")
+    if known.get("loop_mode", "auto") not in ("auto", "jit", "python"):
+        raise ValueError(
+            f"loop_mode={known['loop_mode']!r} is not supported; "
+            "valid values: 'auto', 'jit', 'python'")
     return IPMOptions(**known), ignored
