@@ -300,7 +300,7 @@ def main():
                     "iter": st.iter, "objective": st.objective,
                     "total_time": total,  # shared bucket-batch wall time
                     "warm_time": warm,    # shared in-process warm re-solve
-                    "linear_solver_time": -1.0,
+                    "linear_solver_time": None,  # not measured in batched mode
                 }
                 results.append(rec)
                 print(json.dumps(rec), flush=True)

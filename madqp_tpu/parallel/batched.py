@@ -177,11 +177,50 @@ class BatchedMPCSolver:
             self.lb, self.ub = shard_tree((self.lb, self.ub))
 
         opts = self.opts
+        # Chunked host-stepped loop for LARGE-dim batches: a vmapped
+        # lax.while_loop runs the whole lockstep solve (up to max_iter
+        # iterations of every lane) in ONE device dispatch.  On the
+        # tunneled backend a single dispatch that computes for minutes
+        # kills the TPU worker ("TPU worker process crashed" — reproduced
+        # at 14 lanes x 2300 dims and at 10 lanes x 1024 dims with a
+        # 99-iteration lane; benchmarks/repro_fault.py).  loop_mode='auto'
+        # therefore dispatches bounded chunks of vmapped iterations from
+        # the host once the padded internal dim reaches 512 (small-dim
+        # buckets keep the single-program path: stepping a 2048-lane
+        # n=64 batch would triple its 171 ms wall in dispatch latency).
+        # Emulated-f64 iterations are ~10-20x slower than f32, so the
+        # full-precision programs use proportionally smaller chunks.
+        dim = int(self.prob.c.shape[-1])
+        stepped = opts.loop_mode == "python" or (
+            opts.loop_mode == "auto" and dim >= 512)
+
+        def _stepped_run(kernel, warm: bool, chunk: int):
+            def chunk_fn(prob, st):
+                return jax.lax.fori_loop(
+                    0, chunk, lambda i, s: kernel.iteration(prob, s), st)
+
+            init_fn = kernel.init_state_warm if warm else kernel.init_state
+            init = _wrap(jax.vmap(init_fn))
+            step = _wrap(jax.vmap(chunk_fn))
+
+            def run(prob, *args):
+                st = init(prob, *args)
+                while bool(jax.device_get(jnp.any(st.status == S.RUNNING))):
+                    st = step(prob, st)
+                return st
+
+            return run
+
         rescue = (opts.factorization_dtype
                   and opts.factorization_dtype != opts.dtype
                   and opts.precision_scheme == "two-phase")
         if not rescue:
-            self._solve = _wrap(jax.vmap(MPCKernel(opts).solve_from))
+            kernel = MPCKernel(opts)
+            if stepped:
+                f64ish = opts.factorization_dtype in ("", "float64")
+                self._solve = _stepped_run(kernel, False, 4 if f64ish else 8)
+            else:
+                self._solve = _wrap(jax.vmap(kernel.solve_from))
             return
 
         # Mixed-precision rescue, batched (same scheme as the dense
@@ -193,8 +232,15 @@ class BatchedMPCSolver:
         opts1 = dataclasses.replace(
             opts, stall_exit=opts.stall_exit if opts.stall_exit > 0 else 5)
         opts2 = dataclasses.replace(opts, factorization_dtype="")
-        phase1 = _wrap(jax.vmap(MPCKernel(opts1).solve_from))
-        phase2 = _wrap(jax.vmap(MPCKernel(opts2).solve_from_warm))
+        if stepped:
+            # The f64 rescue phase is the dispatch that crashed the worker
+            # on the structured:large 1024 bucket (emulated f64 is the
+            # long pole), so it gets the smallest chunk.
+            phase1 = _stepped_run(MPCKernel(opts1), False, 8)
+            phase2 = _stepped_run(MPCKernel(opts2), True, 2)
+        else:
+            phase1 = _wrap(jax.vmap(MPCKernel(opts1).solve_from))
+            phase2 = _wrap(jax.vmap(MPCKernel(opts2).solve_from_warm))
 
         def _solve_rescue(prob, x0, y0, lb, ub):
             f1 = phase1(prob, x0, y0, lb, ub)

@@ -93,3 +93,30 @@ def test_batched_mixed_precision_rescue():
                           factorization_dtype="float32", max_refine_steps=1)
     assert all(s.status == mq.Status.SOLVE_SUCCEEDED for s in stats)
     assert all(s.iter < 100 for s in stats)
+
+
+def test_batched_stepped_loop_matches_jit():
+    """loop_mode='python' (chunked host-stepped dispatch, the large-dim
+    default under 'auto') must reproduce the single-program while_loop
+    solve bit-for-bit in status/iterations/objective — it is the fence
+    against the TPU-worker watchdog kill on long lockstep dispatches
+    (benchmarks/repro_fault.py: 10 lanes x 1024 dims with a 99-iteration
+    lane crashes the worker in one dispatch)."""
+    qps = _problems(5)
+    ref = BatchedMPCSolver.from_problems(
+        qps, print_level=40, tol=1e-8, loop_mode="jit")
+    stepped = BatchedMPCSolver.from_problems(
+        qps, print_level=40, tol=1e-8, loop_mode="python")
+    for a, b in zip(ref.solve_all(), stepped.solve_all()):
+        assert b.status == Status.SOLVE_SUCCEEDED
+        assert b.iter == a.iter
+        assert b.objective == pytest.approx(a.objective, rel=1e-12, abs=1e-12)
+
+    # two-phase rescue with a stepped f64 endgame (the dispatch that
+    # crashed the worker on the structured:large 1024 bucket)
+    rescue = BatchedMPCSolver.from_problems(
+        qps, print_level=40, tol=1e-8, loop_mode="python",
+        factorization_dtype="float32", max_refine_steps=1)
+    for a, b in zip(ref.solve_all(), rescue.solve_all()):
+        assert b.status == Status.SOLVE_SUCCEEDED
+        assert b.objective == pytest.approx(a.objective, rel=1e-6, abs=1e-6)
