@@ -177,7 +177,17 @@ def main():
                     help="concrete exclusion list for the real suites "
                          "(fetch_suites.EXCLUSIONS; reference "
                          "scripts/excluded_problems.jl)")
+    ap.add_argument("--platform", default="",
+                    help="force the jax platform; --backend host defaults "
+                         "to 'cpu' so host-path suite runs never touch the "
+                         "(single, deadlock-prone) tunneled TPU")
     args = ap.parse_args()
+
+    platform = args.platform or ("cpu" if args.backend == "host" else "")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
     options = dict(
         print_level=40,
