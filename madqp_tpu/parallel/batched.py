@@ -177,27 +177,56 @@ class BatchedMPCSolver:
             self.lb, self.ub = shard_tree((self.lb, self.ub))
 
         opts = self.opts
-        # Chunked host-stepped loop for LARGE-dim batches: a vmapped
+        # Chunked host-stepped loop for LARGE batches: a vmapped
         # lax.while_loop runs the whole lockstep solve (up to max_iter
         # iterations of every lane) in ONE device dispatch.  On the
         # tunneled backend a single dispatch that computes for minutes
         # kills the TPU worker ("TPU worker process crashed" — reproduced
         # at 14 lanes x 2300 dims and at 10 lanes x 1024 dims with a
-        # 99-iteration lane; benchmarks/repro_fault.py).  loop_mode='auto'
-        # therefore dispatches bounded chunks of vmapped iterations from
-        # the host once the padded internal dim reaches 512 (small-dim
-        # buckets keep the single-program path: stepping a 2048-lane
-        # n=64 batch would triple its 171 ms wall in dispatch latency).
-        # Emulated-f64 iterations are ~10-20x slower than f32, so the
-        # full-precision programs use proportionally smaller chunks.
+        # 99-iteration lane; benchmarks/repro_fault.py).  The real trigger
+        # is per-dispatch wall time, so loop_mode='auto' gates on an
+        # estimated work bound — lanes x dim^3/3 x max_iter, scaled ~10x
+        # for emulated-f64 factorizations — not just the padded dim;
+        # dim >= 512 is kept as a belt-and-braces floor from the measured
+        # crashes.  Small cheap batches keep the single-program path
+        # (stepping a 2048-lane n=64 batch would triple its 171 ms wall
+        # in dispatch latency).
         dim = int(self.prob.c.shape[-1])
+        lanes = int(self.prob.c.shape[0])
+
+        def _eff_f64(o) -> bool:
+            return (o.factorization_dtype or o.dtype) == "float64"
+
+        def _flops(o) -> float:
+            per_iter = lanes * dim ** 3 / 3.0
+            return o.max_iter * per_iter * (10.0 if _eff_f64(o) else 1.0)
+
         stepped = opts.loop_mode == "python" or (
-            opts.loop_mode == "auto" and dim >= 512)
+            opts.loop_mode == "auto"
+            and (dim >= 512 or _flops(opts) > 5e11))
+
+        def _chunk_iters(o) -> int:
+            # Size the chunk to a per-dispatch work target (~2e10 flops in
+            # f32, ~4x less for ~10-20x-slower emulated f64), clamped to
+            # [1, 8].  At the structured:large 1024-bucket sizes this
+            # reproduces the hand constants that fixed the worker crash:
+            # 8 iterations/chunk in f32, 2 in emulated f64.
+            per_iter = max(lanes * dim ** 3 / 3.0, 1.0)
+            target = 5e9 if _eff_f64(o) else 2e10
+            return max(1, min(8, int(target / per_iter)))
 
         def _stepped_run(kernel, warm: bool, chunk: int):
             def chunk_fn(prob, st):
-                return jax.lax.fori_loop(
-                    0, chunk, lambda i, s: kernel.iteration(prob, s), st)
+                # Freeze terminal lanes explicitly (same masking as the
+                # vmapped while_loop) instead of relying on iteration()
+                # being a fixed point on non-RUNNING states.
+                def body(_, s):
+                    return jax.lax.cond(
+                        s.status == S.RUNNING,
+                        lambda s: kernel.iteration(prob, s),
+                        lambda s: s, s)
+
+                return jax.lax.fori_loop(0, chunk, body, st)
 
             init_fn = kernel.init_state_warm if warm else kernel.init_state
             init = _wrap(jax.vmap(init_fn))
@@ -217,8 +246,7 @@ class BatchedMPCSolver:
         if not rescue:
             kernel = MPCKernel(opts)
             if stepped:
-                f64ish = opts.factorization_dtype in ("", "float64")
-                self._solve = _stepped_run(kernel, False, 4 if f64ish else 8)
+                self._solve = _stepped_run(kernel, False, _chunk_iters(opts))
             else:
                 self._solve = _wrap(jax.vmap(kernel.solve_from))
             return
@@ -236,8 +264,8 @@ class BatchedMPCSolver:
             # The f64 rescue phase is the dispatch that crashed the worker
             # on the structured:large 1024 bucket (emulated f64 is the
             # long pole), so it gets the smallest chunk.
-            phase1 = _stepped_run(MPCKernel(opts1), False, 8)
-            phase2 = _stepped_run(MPCKernel(opts2), True, 2)
+            phase1 = _stepped_run(MPCKernel(opts1), False, _chunk_iters(opts1))
+            phase2 = _stepped_run(MPCKernel(opts2), True, _chunk_iters(opts2))
         else:
             phase1 = _wrap(jax.vmap(MPCKernel(opts1).solve_from))
             phase2 = _wrap(jax.vmap(MPCKernel(opts2).solve_from_warm))
