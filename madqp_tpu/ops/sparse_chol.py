@@ -323,6 +323,20 @@ def _pad_pow2(v: int, lo: int = 8) -> int:
     return b
 
 
+def _pad_class(v: int, lo: int = 8) -> int:
+    """Coarse pad classes: powers of 4 from 8 (8, 32, 128, 512), then
+    powers of 2.  Fewer distinct front shapes means fewer XLA stages —
+    same-shape rounds merge and consecutive rounds scan-group — and the
+    extra padded flops are idle-MXU food (the whole grid-20k factorization
+    is ~0.4 GFLOP against a ~33 TFLOP/s f32 ceiling)."""
+    if v <= 0:
+        return 0
+    b = lo
+    while b < v:
+        b *= 4 if b < 512 else 2
+    return b
+
+
 @dataclasses.dataclass
 class _Bucket:
     """One (level, shape) group of supernodes, batched on device."""
@@ -367,6 +381,33 @@ class _Chain:
     final_src: Optional[np.ndarray]  # gather from padded final carry
     final_dst: Optional[np.ndarray]  # scatter into upd_buf
     diag_rows: np.ndarray    # (K, w_pad) real-column mask
+
+
+@dataclasses.dataclass
+class _BucketScan:
+    """K consecutive same-shape rounds run as ONE `lax.scan` (leading axis
+    of every array = round index).  Cross-round dependencies flow through
+    the scan carry (the flat `upd_buf` update array), so any topological
+    sequence of same-shape rounds compiles to a single XLA stage regardless
+    of K — the generalization of `_Chain` to multi-node rounds.  Lane count
+    is padded to the largest round; padding slots factor identity fronts
+    (unit diagonal injected via pad_dst) and scatter their update to the
+    upd_buf scratch slot."""
+
+    w_pad: int
+    u_pad: int
+    count: int               # padded lanes per step
+    steps: int               # K
+    cols_idx: np.ndarray     # (K, count, w_pad); dummy = n
+    below_idx: np.ndarray    # (K, count, max(u_pad, 1)); dummy = n
+    asm_src: np.ndarray      # (K, Ea) into a_values (pad: src 0)
+    asm_dst: np.ndarray      # (K, Ea) into flat fronts (pad: scratch)
+    pad_dst: np.ndarray      # (K, Ep) unit-diagonal positions
+    child_src: np.ndarray    # (K, Ec) gather from upd_buf (pad: 0)
+    child_dst: np.ndarray    # (K, Ec) scatter into fronts (pad: scratch)
+    upd_src: np.ndarray      # (K, Eu) gather from the update tensor
+    upd_dst: np.ndarray      # (K, Eu) scatter into upd_buf (pad: scratch)
+    diag_rows: np.ndarray    # (K, count, w_pad) real-column mask
 
 
 @dataclasses.dataclass
@@ -421,6 +462,12 @@ _register_sched(
     ("w_pad", "u_pad", "count"),
 )
 _register_sched(
+    _BucketScan,
+    ("cols_idx", "below_idx", "asm_src", "asm_dst", "pad_dst",
+     "child_src", "child_dst", "upd_src", "upd_dst", "diag_rows"),
+    ("w_pad", "u_pad", "count", "steps"),
+)
+_register_sched(
     BucketedSymbolic,
     ("perm", "iperm", "Up", "Ui", "schedule"),
     ("n", "total_upd"),
@@ -443,16 +490,143 @@ def schedule_cost(bs: "BucketedSymbolic",
     cost = 0.0
     for it in bs.schedule:
         w, u = it.w_pad, it.u_pad
-        fl = it.count * (w ** 3 / 3 + w * w * u + w * u * u)
-        steps = it.count if isinstance(it, _Chain) else 1
+        if isinstance(it, _Chain):
+            lanes, steps = 1, it.count
+        else:
+            lanes, steps = it.count, getattr(it, "steps", 1)
+        fl = lanes * steps * (w ** 3 / 3 + w * w * u + w * u * u)
         cost += steps * stage_s + fl / flops_per_s
     return cost
 
 
+def _greedy_rounds(snodes, w_pads, u_pads):
+    """Greedy availability scheduling: repeatedly emit, as ONE round, every
+    READY supernode of the shape class with the most ready members (ready =
+    all children already emitted).  Simultaneously-ready nodes are mutually
+    independent by construction, so each round is a valid batch; the round
+    sequence is a topological order of the assembly tree.  Ties prefer the
+    previous round's shape so consecutive rounds scan-group."""
+    from collections import defaultdict
+
+    nsn = len(snodes)
+    left = [len(sn.child_ids) for sn in snodes]
+    ready = defaultdict(list)
+    for s in range(nsn):
+        if not snodes[s].child_ids:
+            ready[(int(w_pads[s]), int(u_pads[s]))].append(s)
+    rounds = []
+    last = None
+    done = 0
+    while done < nsn:
+        # Continue the last shape while it has ready members — consecutive
+        # same-shape rounds compile as ONE scan stage, and compile time is
+        # the cost being minimized (a short round only adds a ~µs scan
+        # step).  Otherwise start the largest ready batch.
+        if last in ready:
+            key = last
+        else:
+            key = max(ready, key=lambda k: (len(ready[k]), k))
+        ids = sorted(ready.pop(key))
+        rounds.append((key, ids))
+        done += len(ids)
+        for s in ids:
+            p = snodes[s].parent
+            if p >= 0:
+                left[p] -= 1
+                if left[p] == 0:
+                    ready[(int(w_pads[p]), int(u_pads[p]))].append(p)
+        last = key
+    return rounds
+
+
+def _stack_buckets(buckets: List[_Bucket], n: int,
+                   total_upd: int) -> _BucketScan:
+    """Stack K same-shape rounds into one _BucketScan: lane count padded to
+    the largest round (padding slots factor identity fronts and write their
+    update to the upd_buf scratch slot = total_upd), per-round index arrays
+    padded to the longest round's lengths (gather pads read slot 0, scatter
+    pads write the respective scratch slot)."""
+    w_pad, u_pad = buckets[0].w_pad, buckets[0].u_pad
+    r_pad = w_pad + u_pad
+    K = len(buckets)
+    L = max(b.count for b in buckets)
+    scratch_f = L * r_pad * r_pad
+
+    def pad_rows(arrs, fill, width):
+        out = np.full((K, L, width), fill, arrs[0].dtype)
+        for k, a in enumerate(arrs):
+            out[k, : a.shape[0], : a.shape[1]] = a
+        return out
+
+    def pad_flat(arrs, fill):
+        E = max(a.size for a in arrs) if arrs else 0
+        out = np.full((K, E), fill, np.int64)
+        for k, a in enumerate(arrs):
+            out[k, : a.size] = a
+        return out
+
+    # Width padding + identity diagonals for the padding lanes of short
+    # rounds (a zero front would put 0 pivots into the factorization).
+    pad_dsts = []
+    for b in buckets:
+        extra = [k * r_pad * r_pad + i * r_pad + i
+                 for k in range(b.count, L) for i in range(w_pad)]
+        pad_dsts.append(np.concatenate(
+            [b.pad_dst, np.asarray(extra, np.int64)]))
+
+    return _BucketScan(
+        w_pad=w_pad, u_pad=u_pad, count=L, steps=K,
+        cols_idx=pad_rows([b.cols_idx for b in buckets], n, w_pad),
+        below_idx=pad_rows([b.below_idx for b in buckets], n,
+                           max(u_pad, 1)),
+        asm_src=pad_flat([b.asm_src for b in buckets], 0),
+        asm_dst=pad_flat([b.asm_dst for b in buckets], scratch_f),
+        pad_dst=pad_flat(pad_dsts, scratch_f),
+        child_src=pad_flat([b.child_src for b in buckets], 0),
+        child_dst=pad_flat([b.child_dst for b in buckets], scratch_f),
+        upd_src=pad_flat([b.upd_src for b in buckets], 0),
+        upd_dst=pad_flat([b.upd_dst for b in buckets], total_upd),
+        diag_rows=pad_rows([b.diag_rows for b in buckets], False, w_pad),
+    )
+
+
+def _group_scans(run, n: int, total_upd: int) -> List[object]:
+    """Collapse maximal consecutive same-shape runs of `(key, _Bucket)`
+    into _BucketScan items (single rounds stay plain _Bucket)."""
+    schedule: List[object] = []
+    i = 0
+    while i < len(run):
+        j = i
+        while j + 1 < len(run) and run[j + 1][0] == run[i][0]:
+            j += 1
+        if j == i:
+            schedule.append(run[i][1])
+        else:
+            schedule.append(_stack_buckets([b for _, b in run[i: j + 1]],
+                                           n, total_upd))
+        i = j + 1
+    return schedule
+
+
 def analyze_batched(A: sp.spmatrix, order: str = "auto",
                     max_supernode: int = 128,
-                    relax: int = 16) -> BucketedSymbolic:
-    """Host symbolic analysis producing the bucket/chain schedule.
+                    relax: int = 16,
+                    schedule_mode: str = "greedy") -> BucketedSymbolic:
+    """Host symbolic analysis producing the bucket/chain/scan schedule.
+
+    schedule_mode:
+      * "greedy" (default) — coarse shape classes (`_pad_class`) plus
+        greedy availability scheduling: each round batches EVERY ready
+        supernode of the most numerous shape (ready = all children
+        emitted; simultaneously-ready nodes are independent, so a round is
+        one batched dense-front stage), and consecutive same-shape rounds
+        collapse into one `_BucketScan` `lax.scan` stage.  XLA program
+        size scales with the number of shape runs (typically ≤ 10), not
+        with supernodes or tree levels — this is what holds the sparse
+        cold-compile tax down (VERDICT round-1 #1).
+      * "level" — the round-2 scheduler: power-of-two pads, per-level
+        shape buckets, single-child paths extracted as `_Chain` scans.
+        Kept as the reference implementation for A/B tests.
 
     order='auto' builds the schedule under both AMD (minimum fill) and
     nested dissection (minimum critical path) and keeps the one with the
@@ -462,24 +636,45 @@ def analyze_batched(A: sp.spmatrix, order: str = "auto",
     """
     if order == "auto":
         cands = [analyze_batched(A, order=o, max_supernode=max_supernode,
-                                 relax=relax) for o in ("amd", "nd")]
+                                 relax=relax, schedule_mode=schedule_mode)
+                 for o in ("amd", "nd")]
         return min(cands, key=schedule_cost)
     symb = analyze(A, order=order, max_supernode=max_supernode, relax=relax)
     snodes = symb.supernodes
     nsn = len(snodes)
     n = symb.n
 
-    # Tree levels: leaves at 0, parent strictly above all children.
-    level = np.zeros(nsn, np.int64)
-    for s in range(nsn):  # postorder: children come first
-        p = snodes[s].parent
-        if p >= 0:
-            level[p] = max(level[p], level[s] + 1)
-
     u_sizes = np.asarray([sn.rows.size - sn.cols.size for sn in snodes])
     w_sizes = np.asarray([sn.cols.size for sn in snodes])
-    w_pads = np.asarray([_pad_pow2(int(w)) for w in w_sizes])
-    u_pads = np.asarray([_pad_pow2(int(u)) if u else 0 for u in u_sizes])
+    if schedule_mode == "greedy":
+        w_pads = np.asarray([_pad_class(int(w)) for w in w_sizes])
+        u_pads = np.asarray([_pad_class(int(u)) if u else 0
+                             for u in u_sizes])
+    else:
+        w_pads = np.asarray([_pad_pow2(int(w)) for w in w_sizes])
+        u_pads = np.asarray([_pad_pow2(int(u)) if u else 0 for u in u_sizes])
+
+    rounds = None
+    if schedule_mode == "greedy":
+        rounds = _greedy_rounds(snodes, w_pads, u_pads)
+        # Tail merge: the top of the assembly tree dissolves into many
+        # small rounds of assorted shapes (one XLA stage each).  Promote
+        # every node in the maximal suffix of small rounds to the suffix's
+        # max shape so the whole tail becomes consecutive same-shape
+        # rounds == ONE scan stage; the extra padded flops are negligible
+        # against the leaf rounds (and the MXU is idle regardless).
+        cut = len(rounds)
+        while cut > 1 and len(rounds[cut - 1][1]) <= 8:
+            cut -= 1
+        if len(rounds) - cut >= 2:
+            tail = rounds[cut:]
+            w_t = max(k[0] for k, _ in tail)
+            u_t = max(k[1] for k, _ in tail)
+            for _, ids in tail:
+                for s in ids:
+                    w_pads[s] = w_t
+                    u_pads[s] = u_t
+            rounds = rounds[:cut] + [((w_t, u_t), ids) for _, ids in tail]
 
     upd_off = np.zeros(nsn + 1, np.int64)
     np.cumsum(u_sizes * u_sizes, out=upd_off[1:])
@@ -487,37 +682,40 @@ def analyze_batched(A: sp.spmatrix, order: str = "auto",
     scratch_buf = total_upd  # read-as-zero / write-scratch slot
 
     # ---- chain extraction: maximal single-child constant-shape paths ----
+    # (level mode only; the greedy mode's _BucketScan subsumes chains.)
     in_chain = np.zeros(nsn, bool)
     chains: List[List[int]] = []
-    for s in range(nsn):
-        if in_chain[s] or u_pads[s] == 0:
-            continue
-        ch = snodes[s].child_ids
-        if len(ch) > 1:
-            continue  # multi-child assembly cannot live inside a scan step
-        # Skip s when its single child will extend a chain INTO s (s is a
-        # tail element of a chain headed further down).
-        if len(ch) == 1 and not in_chain[ch[0]] \
-                and len(snodes[ch[0]].child_ids) <= 1 \
-                and (w_pads[ch[0]], u_pads[ch[0]]) == (w_pads[s], u_pads[s]) \
-                and u_pads[ch[0]] > 0:
-            continue
-        seq = [s]
-        cur = s
-        while True:
-            p = snodes[cur].parent
-            if p < 0 or snodes[p].child_ids != [cur]:
-                break
-            if (w_pads[p], u_pads[p]) != (w_pads[s], u_pads[s]):
-                break
-            if u_pads[p] == 0:
-                break
-            seq.append(p)
-            cur = p
-        if len(seq) >= _CHAIN_MIN:
-            for t in seq:
-                in_chain[t] = True
-            chains.append(seq)
+    if schedule_mode != "greedy":
+        for s in range(nsn):
+            if in_chain[s] or u_pads[s] == 0:
+                continue
+            ch = snodes[s].child_ids
+            if len(ch) > 1:
+                continue  # multi-child assembly cannot live in a scan step
+            # Skip s when its single child will extend a chain INTO s (s is
+            # a tail element of a chain headed further down).
+            if len(ch) == 1 and not in_chain[ch[0]] \
+                    and len(snodes[ch[0]].child_ids) <= 1 \
+                    and (w_pads[ch[0]], u_pads[ch[0]]) == (w_pads[s],
+                                                           u_pads[s]) \
+                    and u_pads[ch[0]] > 0:
+                continue
+            seq = [s]
+            cur = s
+            while True:
+                p = snodes[cur].parent
+                if p < 0 or snodes[p].child_ids != [cur]:
+                    break
+                if (w_pads[p], u_pads[p]) != (w_pads[s], u_pads[s]):
+                    break
+                if u_pads[p] == 0:
+                    break
+                seq.append(p)
+                cur = p
+            if len(seq) >= _CHAIN_MIN:
+                for t in seq:
+                    in_chain[t] = True
+                chains.append(seq)
 
     # ---- helper: local-position map respecting padded update offset ----
     def loc_of(t):
@@ -547,7 +745,76 @@ def analyze_batched(A: sp.spmatrix, order: str = "auto",
 
     schedule: List[object] = []
 
-    # ---- regular buckets, grouped per level over non-chain supernodes ----
+    def make_bucket(ids, w_pad, u_pad) -> _Bucket:
+        r_pad = w_pad + u_pad
+        L = len(ids)
+        cols_idx = np.full((L, w_pad), n, np.int32)
+        below_idx = np.full((L, max(u_pad, 1)), n, np.int32)
+        diag_rows = np.zeros((L, w_pad), bool)
+        asm_src, asm_dst, pad_dst = [], [], []
+        child_src, child_dst = [], []
+        upd_src, upd_dst = [], []
+        for k, s in enumerate(ids):
+            sn = snodes[s]
+            w, u = int(w_sizes[s]), int(u_sizes[s])
+            cols_idx[k, :w] = sn.cols
+            if u:
+                below_idx[k, :u] = sn.rows[w:]
+            diag_rows[k, :w] = True
+            base = k * r_pad * r_pad
+            for p, a, b in asm_by_sn[s]:
+                asm_src.append(p)
+                asm_dst.append(base + a * r_pad + b)
+            for i in range(w, w_pad):
+                pad_dst.append(base + i * r_pad + i)
+            lmap = locmaps[s]
+            for c in sn.child_ids:
+                chs = snodes[c]
+                urows = chs.rows[chs.cols.size:]
+                uc = urows.size
+                lidx = np.asarray([lmap[int(g)] for g in urows])
+                off = upd_off[c]
+                for ci in range(uc):
+                    for cj in range(ci + 1):
+                        a2, b2 = lidx[ci], lidx[cj]
+                        if a2 < b2:
+                            a2, b2 = b2, a2
+                        child_src.append(off + ci * uc + cj)
+                        child_dst.append(base + a2 * r_pad + b2)
+            ubase = k * u_pad * u_pad
+            off = upd_off[s]
+            for ci in range(u):
+                for cj in range(u):
+                    upd_src.append(ubase + ci * u_pad + cj)
+                    upd_dst.append(off + ci * u + cj)
+        return _Bucket(
+            w_pad=w_pad, u_pad=u_pad, count=L,
+            cols_idx=cols_idx, below_idx=below_idx,
+            asm_src=np.asarray(asm_src, np.int64),
+            asm_dst=np.asarray(asm_dst, np.int64),
+            pad_dst=np.asarray(pad_dst, np.int64),
+            child_src=np.asarray(child_src, np.int64),
+            child_dst=np.asarray(child_dst, np.int64),
+            upd_src=np.asarray(upd_src, np.int64),
+            upd_dst=np.asarray(upd_dst, np.int64),
+            diag_rows=diag_rows,
+        )
+
+    if schedule_mode == "greedy":
+        run = [(key, make_bucket(ids, *key)) for key, ids in rounds]
+        schedule = _group_scans(run, n, total_upd)
+        return BucketedSymbolic(
+            n=n, perm=symb.perm, iperm=symb.iperm, Up=symb.Up, Ui=symb.Ui,
+            schedule=schedule, total_upd=total_upd,
+        )
+
+    # ---- level mode: regular buckets per level over non-chain nodes ----
+    # Tree levels: leaves at 0, parent strictly above all children.
+    level = np.zeros(nsn, np.int64)
+    for s in range(nsn):  # postorder: children come first
+        p = snodes[s].parent
+        if p >= 0:
+            level[p] = max(level[p], level[s] + 1)
     nlev = int(level.max()) + 1 if nsn else 0
     bucket_items = {}
     for lev in range(nlev):
@@ -557,60 +824,8 @@ def analyze_batched(A: sp.spmatrix, order: str = "auto",
         for s in members:
             groups.setdefault((int(w_pads[s]), int(u_pads[s])), []).append(s)
         for (w_pad, u_pad), ids in sorted(groups.items()):
-            r_pad = w_pad + u_pad
-            L = len(ids)
-            cols_idx = np.full((L, w_pad), n, np.int32)
-            below_idx = np.full((L, max(u_pad, 1)), n, np.int32)
-            diag_rows = np.zeros((L, w_pad), bool)
-            asm_src, asm_dst, pad_dst = [], [], []
-            child_src, child_dst = [], []
-            upd_src, upd_dst = [], []
-            for k, s in enumerate(ids):
-                sn = snodes[s]
-                w, u = int(w_sizes[s]), int(u_sizes[s])
-                cols_idx[k, :w] = sn.cols
-                if u:
-                    below_idx[k, :u] = sn.rows[w:]
-                diag_rows[k, :w] = True
-                base = k * r_pad * r_pad
-                for p, a, b in asm_by_sn[s]:
-                    asm_src.append(p)
-                    asm_dst.append(base + a * r_pad + b)
-                for i in range(w, w_pad):
-                    pad_dst.append(base + i * r_pad + i)
-                lmap = locmaps[s]
-                for c in sn.child_ids:
-                    chs = snodes[c]
-                    urows = chs.rows[chs.cols.size:]
-                    uc = urows.size
-                    lidx = np.asarray([lmap[int(g)] for g in urows])
-                    off = upd_off[c]
-                    for ci in range(uc):
-                        for cj in range(ci + 1):
-                            a2, b2 = lidx[ci], lidx[cj]
-                            if a2 < b2:
-                                a2, b2 = b2, a2
-                            child_src.append(off + ci * uc + cj)
-                            child_dst.append(base + a2 * r_pad + b2)
-                ubase = k * u_pad * u_pad
-                off = upd_off[s]
-                for ci in range(u):
-                    for cj in range(u):
-                        upd_src.append(ubase + ci * u_pad + cj)
-                        upd_dst.append(off + ci * u + cj)
-            item = _Bucket(
-                w_pad=w_pad, u_pad=u_pad, count=L,
-                cols_idx=cols_idx, below_idx=below_idx,
-                asm_src=np.asarray(asm_src, np.int64),
-                asm_dst=np.asarray(asm_dst, np.int64),
-                pad_dst=np.asarray(pad_dst, np.int64),
-                child_src=np.asarray(child_src, np.int64),
-                child_dst=np.asarray(child_dst, np.int64),
-                upd_src=np.asarray(upd_src, np.int64),
-                upd_dst=np.asarray(upd_dst, np.int64),
-                diag_rows=diag_rows,
-            )
-            bucket_items.setdefault(lev, []).append(item)
+            bucket_items.setdefault(lev, []).append(
+                make_bucket(ids, w_pad, u_pad))
 
     # ---- chain records ----
     chain_items = []
@@ -812,15 +1027,126 @@ def _inv_lower(L, unit: bool = False):
     return _blk_inv(L, unit=unit)
 
 
+def _scanbucket_factorize(sb: _BucketScan, a_values, upd_buf, dtype,
+                          ldl: bool = False, sgn=None,
+                          pivot_floor: float = 0.0, inverse: bool = False):
+    """Run K same-shape rounds as one lax.scan over the stacked index
+    arrays; the carry is the flat upd_buf (scratch slot = total_upd).
+    Returns (panels (K, L, r_pad, w_pad), dvec (K, L, w_pad), upd_buf)."""
+    w_pad, u_pad, L = sb.w_pad, sb.u_pad, sb.count
+    r_pad = w_pad + u_pad
+    nfront = L * r_pad * r_pad
+    use_floor = ldl and sgn is not None and pivot_floor > 0.0
+    sgn_steps = (jnp.asarray(sgn, dtype) if use_floor
+                 else jnp.ones((sb.steps, L, w_pad), dtype))
+
+    def step(upd_buf, xs):
+        a_s, a_d, p_d, c_s, c_d, u_s, u_d, sg = xs
+        F = jnp.zeros((nfront + 1,), dtype)
+        F = F.at[a_d].add(a_values[a_s].astype(dtype))
+        F = F.at[p_d].add(jnp.ones(p_d.shape, dtype))
+        if c_s.shape[0]:
+            F = F.at[c_d].add(upd_buf[c_s])
+        F = F[:-1].reshape(L, r_pad, r_pad)
+        F = jnp.tril(F) + jnp.tril(F, -1).transpose(0, 2, 1)
+        # Blocked GEMM-rich factorization + explicit diagonal-block inverse
+        # (ops/blocked_dense) — same kernels as the _Bucket path.
+        if ldl:
+            L11, d = blocked_ldl(F[:, :w_pad, :w_pad],
+                                 sgn=sg if use_floor else None,
+                                 floor=pivot_floor)
+            i11 = inv_unit_lower(L11)
+            top = i11 if inverse else L11
+            if u_pad:
+                Z = F[:, w_pad:, :w_pad] @ i11.transpose(0, 2, 1)
+                L21 = Z / d[:, None, :]
+                U = F[:, w_pad:, w_pad:] - Z @ L21.transpose(0, 2, 1)
+        else:
+            Lu, d = blocked_ldl(F[:, :w_pad, :w_pad])
+            sq = jnp.sqrt(d)
+            L11 = Lu * sq[:, None, :]
+            i11 = inv_unit_lower(Lu) / sq[:, :, None]
+            top = i11 if inverse else L11
+            if u_pad:
+                L21 = F[:, w_pad:, :w_pad] @ i11.transpose(0, 2, 1)
+                U = F[:, w_pad:, w_pad:] - L21 @ L21.transpose(0, 2, 1)
+        if u_pad:
+            panel = jnp.concatenate([top, L21], axis=1)
+            if u_s.shape[0]:
+                upd_buf = upd_buf.at[u_d].set(U.reshape(-1)[u_s])
+        else:
+            panel = top
+        return upd_buf, (panel, d)
+
+    xs = (sb.asm_src, sb.asm_dst, sb.pad_dst, sb.child_src, sb.child_dst,
+          sb.upd_src, sb.upd_dst, sgn_steps)
+    upd_buf, (panels, dvec) = jax.lax.scan(step, upd_buf, xs)
+    return panels, dvec, upd_buf
+
+
+def _scanbucket_solve_fwd(sb: _BucketScan, panels, x, n, unit=False,
+                          inverse=False):
+    w_pad, u_pad = sb.w_pad, sb.u_pad
+
+    def fstep(x, xs):
+        ci, bi, P = xs
+        if inverse:
+            xj = (P[:, :w_pad, :] @ x[ci][..., None])[..., 0]
+        else:
+            xj = jax.lax.linalg.triangular_solve(
+                P[:, :w_pad, :], x[ci][..., None], left_side=True,
+                lower=True, unit_diagonal=unit)[..., 0]
+        x = x.at[ci.reshape(-1)].set(xj.reshape(-1))
+        if u_pad:
+            y = (P[:, w_pad:, :] @ xj[..., None])[..., 0]
+            x = x.at[bi.reshape(-1)].add(-y.reshape(-1))
+        x = x.at[n].set(0.0)
+        return x, None
+
+    x, _ = jax.lax.scan(fstep, x, (sb.cols_idx, sb.below_idx, panels))
+    return x
+
+
+def _scanbucket_solve_bwd(sb: _BucketScan, panels, x, n, unit=False,
+                          inverse=False):
+    w_pad, u_pad = sb.w_pad, sb.u_pad
+
+    def bstep(x, xs):
+        ci, bi, P = xs
+        rhs = x[ci]
+        if u_pad:
+            rhs = rhs - (P[:, w_pad:, :].transpose(0, 2, 1)
+                         @ x[bi][..., None])[..., 0]
+        if inverse:
+            xj = (P[:, :w_pad, :].transpose(0, 2, 1)
+                  @ rhs[..., None])[..., 0]
+        else:
+            xj = jax.lax.linalg.triangular_solve(
+                P[:, :w_pad, :], rhs[..., None], left_side=True, lower=True,
+                transpose_a=True, unit_diagonal=unit)[..., 0]
+        x = x.at[ci.reshape(-1)].set(xj.reshape(-1))
+        x = x.at[n].set(0.0)
+        return x, None
+
+    x, _ = jax.lax.scan(bstep, x, (sb.cols_idx, sb.below_idx, panels),
+                        reverse=True)
+    return x
+
+
 def factorize_batched(bs: BucketedSymbolic, a_values, inverse: bool = False):
     """Batched numeric Cholesky over the schedule.  Returns panels: one
     array per schedule item — (L, r_pad, w_pad) for buckets, (K, r_pad,
     w_pad) for chains (a flat pytree list).  With inverse=True the stored
     diagonal block is inv(L11) and solves become matmuls."""
     dtype = a_values.dtype
-    upd_buf = jnp.zeros((bs.total_upd,), dtype)
+    upd_buf = jnp.zeros((bs.total_upd + 1,), dtype)  # last slot = scratch
     panels = []
     for item in bs.schedule:
+        if isinstance(item, _BucketScan):
+            P, _, upd_buf = _scanbucket_factorize(item, a_values, upd_buf,
+                                                  dtype, inverse=inverse)
+            panels.append(P)
+            continue
         if isinstance(item, _Chain):
             P, _, upd_buf = _chain_scan(item, a_values, upd_buf, dtype,
                                         ldl=False, inverse=inverse)
@@ -857,6 +1183,9 @@ def solve_batched(bs: BucketedSymbolic, panels, b, inverse: bool = False):
     n = bs.n
     # forward
     for item, P in zip(bs.schedule, panels):
+        if isinstance(item, _BucketScan):
+            x = _scanbucket_solve_fwd(item, P, x, n, inverse=inverse)
+            continue
         if isinstance(item, _Chain):
             x = _chain_solve_fwd(item, P, x, n, inverse=inverse)
             continue
@@ -876,6 +1205,9 @@ def solve_batched(bs: BucketedSymbolic, panels, b, inverse: bool = False):
         x = x.at[n].set(0.0)
     # backward
     for item, P in zip(bs.schedule[::-1], panels[::-1]):
+        if isinstance(item, _BucketScan):
+            x = _scanbucket_solve_bwd(item, P, x, n, inverse=inverse)
+            continue
         if isinstance(item, _Chain):
             x = _chain_solve_bwd(item, P, x, n, inverse=inverse)
             continue
@@ -904,7 +1236,7 @@ def factor_ok_batched(panels) -> jax.Array:
     ok = jnp.asarray(True)
     for P in panels:
         w = P.shape[-1]
-        d = jnp.diagonal(P[:, :w, :], axis1=-2, axis2=-1)
+        d = jnp.diagonal(P[..., :w, :], axis1=-2, axis2=-1)
         ok = ok & jnp.all(jnp.isfinite(d)) & jnp.all(d > 0)
     return ok
 
@@ -945,13 +1277,21 @@ def factorize_batched_ldl(bs: BucketedSymbolic, a_values, signs=None,
     `signs` (the bucket_signs list) + `pivot_floor` > 0 enable sign-directed
     pivot perturbation (see dense_ldl)."""
     dtype = a_values.dtype
-    upd_buf = jnp.zeros((bs.total_upd,), dtype)
+    upd_buf = jnp.zeros((bs.total_upd + 1,), dtype)  # last slot = scratch
     dglob = jnp.ones((bs.n + 1,), dtype)
     panels, dvecs = [], []
     for i, item in enumerate(bs.schedule):
         sgn = None
         if signs is not None and pivot_floor > 0.0:
             sgn = np.asarray(signs[i], np.float64)
+        if isinstance(item, _BucketScan):
+            P, d, upd_buf = _scanbucket_factorize(
+                item, a_values, upd_buf, dtype, ldl=True, sgn=sgn,
+                pivot_floor=pivot_floor, inverse=inverse)
+            panels.append(P)
+            dvecs.append(d)
+            dglob = dglob.at[item.cols_idx.reshape(-1)].set(d.reshape(-1))
+            continue
         if isinstance(item, _Chain):
             P, d, upd_buf = _chain_scan(item, a_values, upd_buf, dtype,
                                         ldl=True, sgn=sgn,
@@ -997,6 +1337,10 @@ def solve_batched_ldl(bs: BucketedSymbolic, factors, b,
     x = jnp.concatenate([jnp.asarray(b)[bs.perm], jnp.zeros((1,), b.dtype)])
     n = bs.n
     for item, P in zip(bs.schedule, panels):
+        if isinstance(item, _BucketScan):
+            x = _scanbucket_solve_fwd(item, P, x, n, unit=True,
+                                      inverse=inverse)
+            continue
         if isinstance(item, _Chain):
             x = _chain_solve_fwd(item, P, x, n, unit=True, inverse=inverse)
             continue
@@ -1016,6 +1360,10 @@ def solve_batched_ldl(bs: BucketedSymbolic, factors, b,
         x = x.at[n].set(0.0)
     x = x / dglob
     for item, P in zip(bs.schedule[::-1], panels[::-1]):
+        if isinstance(item, _BucketScan):
+            x = _scanbucket_solve_bwd(item, P, x, n, unit=True,
+                                      inverse=inverse)
+            continue
         if isinstance(item, _Chain):
             x = _chain_solve_bwd(item, P, x, n, unit=True, inverse=inverse)
             continue

@@ -312,6 +312,21 @@ def start_phase2_overlap(kernel_for, opts2, dummy_args):
     return finish
 
 
+def resolve_endgame(opts):
+    """Resolve endgame='auto' for the sparse device drivers: 'host' when
+    the native C++ LDL library is available (the f32 phase's terminal
+    iterate warm-starts the host solver, so the emulated-f64 XLA programs
+    — ~3x the f32 compile bill — never compile), else 'f64'."""
+    if opts.endgame != "auto":
+        return opts
+    import dataclasses
+
+    from ..native import available
+
+    return dataclasses.replace(
+        opts, endgame="host" if available() else "f64")
+
+
 def two_phase_opts(opts):
     """Split options for the two-phase mixed-precision scheme.
 

@@ -321,9 +321,11 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
     from ..utils import load_options
 
     from .sparse_common import (canonical_coo_vals, get_sparse_kernel,
+                                resolve_endgame,
                                 pattern_fingerprint, stepped_solve)
 
     opts, _ = load_options(**options)
+    opts = resolve_endgame(opts)
     if eq_relax is None:
         eq_relax = opts.tol
     qp_rel = relax_equalities(qp, float(eq_relax))

@@ -415,9 +415,11 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
             return solve_sparse_condensed(qp, order=order, **options)
 
     from .sparse_common import (canonical_coo_vals, get_sparse_kernel,
+                                resolve_endgame,
                                 pattern_fingerprint, stepped_solve)
 
     opts, _ = load_options(**options)
+    opts = resolve_endgame(opts)
     std, info, x0, y0 = build_standard_form_sparse(
         qp, scaling=opts.scaling, max_gradient=opts.max_gradient
     )

@@ -164,7 +164,13 @@ class IPMOptions:
     # "host" hands the f32 phase's terminal iterate to the host C++ LDL
     # solver (warm start) so the f64 XLA program never compiles at all —
     # the cheapest cold-start option on new sparse patterns.
-    endgame: str = "f64"
+    # "auto" (default) resolves to "host" when the native library is
+    # available, else "f64": the emulated-f64 programs are ~3x the f32
+    # compile bill (measured round 3: grid-20k f64 iteration 85 s vs f32
+    # 27 s), and the ~5 host endgame iterations run at the same wall as
+    # on-device emulated f64.  Hot same-pattern re-solve loops should pin
+    # endgame="f64" to amortize the compile instead.
+    endgame: str = "auto"
     krylov_tol: float = 1e-12   # PCG relative-residual target
     krylov_maxit: int = 64
     # Internal: phase-2 marker set by two_phase_opts for endgame="krylov"
@@ -268,7 +274,8 @@ def load_options(**kwargs) -> Tuple[IPMOptions, dict]:
     for key in ("print_level", "file_print_level"):
         if known.get(key) == 0:
             known[key] = 100
-    if known.get("endgame", "f64") not in ("f64", "krylov", "host"):
+    if known.get("endgame", "auto") not in ("auto", "f64", "krylov",
+                                            "host"):
         raise ValueError(
             f"endgame={known['endgame']!r} is not supported; "
             "valid values: 'f64', 'krylov', 'host'")

@@ -66,7 +66,8 @@ def schedule_flops(bs) -> float:
     total = 0.0
     for it in bs.schedule:
         w, u = it.w_pad, it.u_pad
-        total += 2.0 * it.count * (w ** 3 / 3.0 + w * w * u + w * u * u)
+        fronts = it.count * getattr(it, "steps", 1)
+        total += 2.0 * fronts * (w ** 3 / 3.0 + w * w * u + w * u * u)
     return total
 
 
@@ -77,7 +78,8 @@ def schedule_bytes(bs, dtype_bytes: int) -> float:
     total = 0.0
     for it in bs.schedule:
         w, u = it.w_pad, it.u_pad
-        total += it.count * dtype_bytes * (2.0 * (w + u) * w + 2.0 * u * u)
+        fronts = it.count * getattr(it, "steps", 1)
+        total += fronts * dtype_bytes * (2.0 * (w + u) * w + 2.0 * u * u)
     return total
 
 

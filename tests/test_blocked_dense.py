@@ -135,3 +135,38 @@ def test_k2_blocked_signed_ldl_matches_lu():
                     max_refine_steps=2)
     assert st32.status == ref.status
     assert st32.objective == pytest.approx(ref.objective, rel=1e-7)
+
+
+@pytest.mark.parametrize("n", [100, 300, 1100])
+def test_panel_ldl_matches_numpy(n, rng):
+    """Right-looking panel LDL (the O(1)-program large-n path, auto-
+    dispatched by blocked_ldl for 2-D inputs >= 1024) reconstructs A and
+    its panel inverse inverts L, including non-multiple-of-panel sizes."""
+    from madqp_tpu.ops.blocked_dense import panel_ldl, panel_inv_unit_lower
+
+    A = _spd(rng, n, n)
+    L, d = panel_ldl(jnp.asarray(A))
+    rec = np.asarray(L) @ np.diag(np.asarray(d)) @ np.asarray(L).T
+    assert np.abs(rec - A).max() / np.abs(A).max() < 1e-13
+    assert np.allclose(np.triu(np.asarray(L), 1), 0.0)
+    X = panel_inv_unit_lower(L)
+    assert np.abs(np.asarray(X) @ np.asarray(L) - np.eye(n)).max() < 1e-12
+
+
+def test_panel_ldl_quasidefinite_signed_floor(rng):
+    from madqp_tpu.ops.blocked_dense import blocked_ldl
+
+    n = 1500
+    h = n // 2
+    Adat = rng.standard_normal((h, h))
+    K = np.zeros((n, n))
+    K[:h, :h] = np.diag(rng.uniform(0.5, 2.0, h))
+    K[h:, :h] = Adat
+    K[:h, h:] = Adat.T
+    K[h:, h:] = -np.diag(rng.uniform(0.5, 2.0, h)) - Adat @ Adat.T
+    sgn = np.concatenate([np.ones(h), -np.ones(h)])
+    # n >= 1024 and 2-D => panel path
+    L, d = blocked_ldl(jnp.asarray(K), sgn=jnp.asarray(sgn), floor=1e-10)
+    rec = np.asarray(L) @ np.diag(np.asarray(d)) @ np.asarray(L).T
+    assert np.abs(rec - K).max() / np.abs(K).max() < 1e-13
+    assert (np.sign(np.asarray(d)) == sgn).all()

@@ -79,7 +79,8 @@ class TestNumeric:
 
 def test_chain_schedule_banded():
     """Path-shaped etrees must collapse into lax.scan chains (compile cost
-    O(1) in chain length), with exact results."""
+    O(1) in chain length), with exact results.  (Level scheduler — the
+    greedy default covers the same pattern with _BucketScan, below.)"""
     import numpy as np
     import scipy.sparse as sp
     import jax.numpy as jnp
@@ -90,7 +91,7 @@ def test_chain_schedule_banded():
     offs = list(range(-half, half + 1))
     d = [np.full(m - abs(k), 1.0 if k else 4.0 * half) for k in offs]
     A = sp.diags(d, offsets=offs, format="csc")
-    bs = SC.analyze_batched(A, order="rcm")
+    bs = SC.analyze_batched(A, order="rcm", schedule_mode="level")
     n_chain = sum(1 for it in bs.schedule if isinstance(it, SC._Chain))
     assert n_chain >= 1
     assert len(bs.schedule) <= 4  # chain + root, not O(m/128) levels
@@ -122,7 +123,7 @@ def test_chain_schedule_ldl_quasidefinite():
     W = sp.diags(rng.uniform(0.5, 2.0, n))
     K = sp.bmat([[W, A.T], [A, -1e-4 * sp.eye(m)]], format="csc")
     K.sum_duplicates()
-    bs = SC.analyze_batched(K, order="amd")
+    bs = SC.analyze_batched(K, order="amd", schedule_mode="level")
     assert any(isinstance(it, SC._Chain) for it in bs.schedule)
     f = SC.factorize_batched_ldl(bs, jnp.asarray(bs.permute_values(K)))
     es = SC.bucket_signs(bs, np.concatenate([np.ones(n), -np.ones(m)]))
@@ -130,6 +131,73 @@ def test_chain_schedule_ldl_quasidefinite():
     b = rng.standard_normal(n + m)
     x = np.asarray(SC.solve_batched_ldl(bs, f, jnp.asarray(b)))
     assert np.abs(K @ x - b).max() < 1e-6
+
+
+class TestGreedyScanSchedule:
+    """The default (greedy) scheduler: coarse shape classes + availability
+    rounds + consecutive same-shape rounds collapsed into _BucketScan —
+    XLA stage count must stay ~O(#shape runs), with exact numerics and
+    level-mode agreement."""
+
+    def test_banded_collapses_to_few_stages(self):
+        import jax.numpy as jnp
+        from madqp_tpu.ops import sparse_chol as SC
+
+        A = banded_spd(20000, bw=5)
+        bs = SC.analyze_batched(A, order="auto")
+        assert len(bs.schedule) <= 4
+        panels = SC.factorize_batched(bs, jnp.asarray(bs.permute_values(A)))
+        assert bool(SC.factor_ok_batched(panels))
+        rng_ = np.random.default_rng(0)
+        b = rng_.standard_normal(A.shape[0])
+        x = np.asarray(SC.solve_batched(bs, panels, jnp.asarray(b)))
+        assert np.abs(A @ x - b).max() < 1e-8
+
+    def test_matches_level_mode(self):
+        import jax.numpy as jnp
+        from madqp_tpu.ops import sparse_chol as SC
+
+        A = random_spd(400, 0.02, seed=7)
+        rng_ = np.random.default_rng(3)
+        b = rng_.standard_normal(400)
+        xs = {}
+        for mode in ("greedy", "level"):
+            bs = SC.analyze_batched(A, order="amd", schedule_mode=mode)
+            panels = SC.factorize_batched(
+                bs, jnp.asarray(bs.permute_values(A)))
+            assert bool(SC.factor_ok_batched(panels))
+            xs[mode] = np.asarray(
+                SC.solve_batched(bs, panels, jnp.asarray(b)))
+        np.testing.assert_allclose(xs["greedy"], xs["level"],
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_ldl_scan_inverse_and_floor(self):
+        import jax.numpy as jnp
+        from madqp_tpu.ops import sparse_chol as SC
+
+        rng_ = np.random.default_rng(1)
+        n, m = 1200, 600
+        rows = np.repeat(np.arange(m), 2)
+        cols = np.concatenate([np.arange(m) * 2 % n,
+                               (np.arange(m) * 2 + 1) % n])
+        cols = cols.reshape(2, m).T.reshape(-1)
+        vals = rng_.uniform(0.5, 2.0, rows.size)
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsc()
+        W = sp.diags(rng_.uniform(0.5, 2.0, n))
+        K = sp.bmat([[W, A.T], [A, -1e-4 * sp.eye(m)]], format="csc")
+        bs = SC.analyze_batched(K, order="amd")
+        assert any(isinstance(it, SC._BucketScan) for it in bs.schedule) \
+            or len(bs.schedule) <= 6
+        signs = SC.bucket_signs(bs, np.concatenate([np.ones(n),
+                                                    -np.ones(m)]))
+        f = SC.factorize_batched_ldl(
+            bs, jnp.asarray(bs.permute_values(K)), signs=signs,
+            pivot_floor=1e-10, inverse=True)
+        assert bool(SC.factor_ok_batched_ldl(f, signs))
+        b = rng_.standard_normal(n + m)
+        x = np.asarray(SC.solve_batched_ldl(bs, f, jnp.asarray(b),
+                                            inverse=True))
+        assert np.abs(K @ x - b).max() < 1e-6
 
 
 def test_nd_order_valid_permutation_and_solve():
@@ -192,12 +260,19 @@ class TestMeshOrderingSelection:
             assert auto == min(costs.values()), (qp.name, costs, auto)
 
     def test_nd_beats_amd_on_meshes(self):
+        # Under the LEVEL scheduler ND's shallow bushy tree always wins on
+        # meshes.  (The greedy scan scheduler makes AMD competitive —
+        # sequential stage count no longer scales with tree depth — so
+        # there 'auto' legitimately picks either; see
+        # test_auto_matches_min_cost.)
         from madqp_tpu.ops import sparse_chol as SC
 
         for qp in self._families():
             M = self._normal(qp)
-            c_amd = SC.schedule_cost(SC.analyze_batched(M, order="amd"))
-            c_nd = SC.schedule_cost(SC.analyze_batched(M, order="nd"))
+            c_amd = SC.schedule_cost(
+                SC.analyze_batched(M, order="amd", schedule_mode="level"))
+            c_nd = SC.schedule_cost(
+                SC.analyze_batched(M, order="nd", schedule_mode="level"))
             assert c_nd < c_amd, (qp.name, c_amd, c_nd)
 
     def test_nd_factorization_exact_on_netflow(self):
