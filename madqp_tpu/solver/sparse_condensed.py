@@ -62,7 +62,8 @@ class DeviceSparseCondensedKKT:
                  order: str = "auto", max_supernode: int = 128,
                  fact_dtype=None, pivot_floor: Optional[float] = None,
                  inverse: bool = False, krylov: bool = False,
-                 krylov_tol: float = 1e-12, krylov_maxit: int = 64):
+                 krylov_tol: float = 1e-12, krylov_maxit: int = 64,
+                 schedule_mode: str = "greedy"):
         self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
         self.inverse = inverse
         # PCG endgame: f32 factor as preconditioner, f64 matvecs only
@@ -158,7 +159,8 @@ class DeviceSparseCondensedKKT:
 
         # Supernodal symbolic over C; static gather into permuted order.
         self.symb = SC.analyze_batched(C_pat, order=order,
-                                       max_supernode=max_supernode)
+                                       max_supernode=max_supernode,
+                                       schedule_mode=schedule_mode)
         perm, Up, Ui = self.symb.perm, self.symb.Up, self.symb.Ui
         gmap = np.empty(len(Ui), np.int32)
         for j in range(n0):
@@ -349,6 +351,7 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
                 inverse=(o.solve_mode == "inverse"),
                 krylov=o.krylov_solve, krylov_tol=o.krylov_tol,
                 krylov_maxit=o.krylov_maxit,
+                schedule_mode=o.sparse_schedule,
             ),
         )
 

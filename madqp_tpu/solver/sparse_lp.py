@@ -96,7 +96,7 @@ class DeviceSparseNormalKKT:
                  max_supernode: int = 128, mode: str = "batched",
                  fact_dtype=None, inverse: bool = False,
                  krylov: bool = False, krylov_tol: float = 1e-12,
-                 krylov_maxit: int = 64):
+                 krylov_maxit: int = 64, schedule_mode: str = "greedy"):
         self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
         self.inverse = inverse
         # krylov: keep the (f32) factorization as a PRECONDITIONER and
@@ -180,7 +180,8 @@ class DeviceSparseNormalKKT:
         self.mode = mode
         if mode == "batched":
             self.symb = SC.analyze_batched(
-                S_pat, order=order, max_supernode=max_supernode
+                S_pat, order=order, max_supernode=max_supernode,
+                schedule_mode=schedule_mode,
             )
         else:
             self.symb = SC.analyze(S_pat, order=order,
@@ -373,6 +374,7 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
                 inverse=(o.solve_mode == "inverse"),
                 krylov=o.krylov_solve, krylov_tol=o.krylov_tol,
                 krylov_maxit=o.krylov_maxit,
+                schedule_mode=o.sparse_schedule,
             ),
         )
 

@@ -102,7 +102,7 @@ class DeviceSparseAugmentedKKT:
     def __init__(self, H: Optional[sp.spmatrix], A: sp.spmatrix,
                  order: str = "auto", max_supernode: int = 128,
                  fact_dtype=None, pivot_floor: Optional[float] = None,
-                 inverse: bool = False):
+                 inverse: bool = False, schedule_mode: str = "greedy"):
         self.fact_dtype = jnp.dtype(fact_dtype) if fact_dtype else None
         self.inverse = inverse
         if pivot_floor is None:
@@ -187,7 +187,8 @@ class DeviceSparseAugmentedKKT:
 
         # Supernodal symbolic + value gather (permuted order) + signs.
         self.bs = SC.analyze_batched(K_pat, order=order,
-                                     max_supernode=max_supernode)
+                                     max_supernode=max_supernode,
+                                     schedule_mode=schedule_mode)
         perm, Up, Ui = self.bs.perm, self.bs.Up, self.bs.Ui
         gmap = np.empty(len(Ui), np.int64)
         for j in range(n + m):
@@ -435,6 +436,7 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
                 std.H, std.A, order=order,
                 fact_dtype=o.factorization_dtype or None,
                 inverse=(o.solve_mode == "inverse"),
+                schedule_mode=o.sparse_schedule,
             ),
         )
 

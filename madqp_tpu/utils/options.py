@@ -173,6 +173,16 @@ class IPMOptions:
     endgame: str = "auto"
     krylov_tol: float = 1e-12   # PCG relative-residual target
     krylov_maxit: int = 64
+    # Supernodal schedule for the sparse device paths (ops/sparse_chol):
+    # "greedy" (default) = coarse shape classes + availability rounds +
+    # scan-grouped same-shape runs — 5-10x smaller XLA programs (grid-20k
+    # cold compile 90.9 s -> 12.8 s for the factorization) at the price of
+    # more padded front flops (free in f32 on an idle MXU; ~3-6x per-iter
+    # cost in EMULATED f64).  "level" = round-2 scheduler (tight pow2
+    # pads, per-level buckets, chains) — the choice for hot re-solve
+    # loops pinned to endgame="f64", where the compile amortizes and the
+    # emulated-f64 flop bill dominates.
+    sparse_schedule: str = "greedy"
     # Internal: phase-2 marker set by two_phase_opts for endgame="krylov"
     # (selects the PCG solve path in the sparse KKT construction).
     krylov_solve: bool = False
@@ -274,6 +284,11 @@ def load_options(**kwargs) -> Tuple[IPMOptions, dict]:
     for key in ("print_level", "file_print_level"):
         if known.get(key) == 0:
             known[key] = 100
+    if known.get("sparse_schedule", "greedy") not in ("greedy", "level"):
+        raise ValueError(
+            f"sparse_schedule={known['sparse_schedule']!r} is not "
+            "supported; choose one of 'greedy', 'level'."
+        )
     if known.get("endgame", "auto") not in ("auto", "f64", "krylov",
                                             "host"):
         raise ValueError(
