@@ -150,7 +150,41 @@ def main():
         result["detail"]["roofline"] = _roofline(jax)
     except Exception as e:  # pragma: no cover - defensive
         result["detail"]["roofline_error"] = repr(e)
+    # Sparse device-path headline (round 3): grid-20k LP cold (symbolic +
+    # greedy-scan-schedule compiles + solve) and warm re-solve — the
+    # VERDICT r1 #1 "cold compile < 60 s" metric, measured live.
+    try:
+        result["detail"]["sparse_grid20k"] = _sparse_headline(mq)
+    except Exception as e:  # pragma: no cover - defensive
+        result["detail"]["sparse_error"] = repr(e)
     print(json.dumps(result))
+
+
+def _sparse_headline(mq):
+    import dataclasses
+
+    from madqp_tpu.models.generators import grid_lp
+
+    qp = grid_lp(g=100, seed=0)
+    kw = dict(print_level=40, factorization_dtype="float32",
+              max_refine_steps=1, tol=1e-8,
+              step_rule=mq.AdaptiveStep(0.995),
+              regularization=mq.FixedRegularization(1e-8, -1e-8))
+    t0 = time.time()
+    st = mq.solve_sparse_lp(qp, **kw)
+    cold = time.time() - t0
+    qp2 = dataclasses.replace(qp, c=qp.c * (1.0 + 1e-6))
+    t0 = time.time()
+    st2 = mq.solve_sparse_lp(qp2, **kw)
+    warm = time.time() - t0
+    assert st.status == 1 and st2.status == 1
+    return {
+        "case": "grid_lp g=100 (n=20000, m=10000)",
+        "cold_total_s": round(cold, 1),
+        "warm_total_s": round(warm, 2),
+        "iters": int(st2.iter),
+        "warm_per_iter_s": round(warm / max(1, int(st2.iter)), 3),
+    }
 
 
 def _roofline(jax, n=2048):

@@ -154,7 +154,8 @@ def main():
                     help="KKT formulation for --backend=sparse-device")
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 factorization + f64 refinement (device path)")
-    ap.add_argument("--endgame", default="", choices=["", "f64", "krylov", "host"],
+    ap.add_argument("--endgame", default="",
+                    choices=["", "auto", "f64", "krylov", "host"],
                     help="two-phase endgame for --backend=sparse-device "
                          "--mixed-precision ('host' skips the emulated-f64 "
                          "XLA compile entirely; see utils/options.py)")

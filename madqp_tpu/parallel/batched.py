@@ -205,13 +205,13 @@ class BatchedMPCSolver:
             opts.loop_mode == "auto"
             and (dim >= 512 or _flops(opts) > 5e11))
 
-        def _chunk_iters(o) -> int:
+        def _chunk_iters(o, nlanes=None) -> int:
             # Size the chunk to a per-dispatch work target (~2e10 flops in
             # f32, ~4x less for ~10-20x-slower emulated f64), clamped to
             # [1, 8].  At the structured:large 1024-bucket sizes this
             # reproduces the hand constants that fixed the worker crash:
             # 8 iterations/chunk in f32, 2 in emulated f64.
-            per_iter = max(lanes * dim ** 3 / 3.0, 1.0)
+            per_iter = max((nlanes or lanes) * dim ** 3 / 3.0, 1.0)
             target = 5e9 if _eff_f64(o) else 2e10
             return max(1, min(8, int(target / per_iter)))
 
@@ -260,23 +260,60 @@ class BatchedMPCSolver:
         opts1 = dataclasses.replace(
             opts, stall_exit=opts.stall_exit if opts.stall_exit > 0 else 5)
         opts2 = dataclasses.replace(opts, factorization_dtype="")
+        kern2 = MPCKernel(opts2)
         if stepped:
             # The f64 rescue phase is the dispatch that crashed the worker
             # on the structured:large 1024 bucket (emulated f64 is the
             # long pole), so it gets the smallest chunk.
             phase1 = _stepped_run(MPCKernel(opts1), False, _chunk_iters(opts1))
-            phase2 = _stepped_run(MPCKernel(opts2), True, _chunk_iters(opts2))
+            phase2 = _stepped_run(kern2, True, _chunk_iters(opts2))
         else:
             phase1 = _wrap(jax.vmap(MPCKernel(opts1).solve_from))
-            phase2 = _wrap(jax.vmap(MPCKernel(opts2).solve_from_warm))
+            phase2 = _wrap(jax.vmap(kern2.solve_from_warm))
+
+        # Lane-shrunk rescue: the f64 phase re-runs EVERY lane in lockstep
+        # even when only one or two failed f32 lanes need it, and emulated
+        # f64 is 10-20x f32 — on the structured:large 1024 bucket two
+        # ill-scaled lanes dragged all 10 through a 279 s f64 lockstep.
+        # Gather the failed lanes, pad to a power-of-two lane count, run
+        # the warm f64 phase on that small batch, and scatter the results
+        # back.  One jitted program per rescue lane count (cached).
+        _shrunk: dict = {}
+
+        def _phase2_for(nl: int):
+            if nl not in _shrunk:
+                if stepped:
+                    _shrunk[nl] = _stepped_run(
+                        kern2, True, _chunk_iters(opts2, nl))
+                else:
+                    _shrunk[nl] = jax.jit(jax.vmap(kern2.solve_from_warm))
+            return _shrunk[nl]
 
         def _solve_rescue(prob, x0, y0, lb, ub):
             f1 = phase1(prob, x0, y0, lb, ub)
-            all_ok = bool(jax.device_get(jnp.all(f1.status == S.SUCCESS)))
-            if all_ok:
+            statuses = np.asarray(jax.device_get(f1.status))
+            bad = np.flatnonzero(statuses != S.SUCCESS)
+            if bad.size == 0:
                 return f1
-            f2 = phase2(prob, f1.x, f1.y, f1.zl, f1.zu, lb, ub)
-            return f2._replace(k=f1.k + f2.k)
+            if self.mesh is not None or bad.size > statuses.size // 2:
+                # Sharded batches (lanes span devices) and mostly-failed
+                # batches keep the full-width lockstep rescue.
+                f2 = phase2(prob, f1.x, f1.y, f1.zl, f1.zu, lb, ub)
+                return f2._replace(k=f1.k + f2.k)
+            nl = 1
+            while nl < bad.size:
+                nl *= 2
+            idx = np.concatenate([bad, np.full(nl - bad.size, bad[0])])
+            take = lambda t: jax.tree.map(lambda a: a[idx], t)  # noqa: E731
+            f2 = _phase2_for(nl)(
+                take(prob), f1.x[idx], f1.y[idx], f1.zl[idx], f1.zu[idx],
+                lb[idx], ub[idx],
+            )
+            nb = bad.size
+            merged = jax.tree.map(
+                lambda full, part: full.at[bad].set(part[:nb]), f1, f2)
+            return merged._replace(
+                k=f1.k.at[bad].add(np.asarray(f2.k)[:nb]))
 
         self._solve = _solve_rescue
 
