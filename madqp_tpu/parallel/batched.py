@@ -289,11 +289,55 @@ class BatchedMPCSolver:
                     _shrunk[nl] = jax.jit(jax.vmap(kern2.solve_from_warm))
             return _shrunk[nl]
 
+        # Host rescue (default, endgame 'auto'/'host' + native library +
+        # unsharded batch): failed lanes re-solve on the host C++ LDL path
+        # — the batched lanes are dense-padded SMALL instances, and a host
+        # solve costs well under a second each, versus a warm emulated-f64
+        # device lockstep that effectively re-solves from scratch when a
+        # lane died with STEP_ERROR at k~0 (measured: 279 s for the
+        # structured:large 1024 bucket).  solve_all() consumes the
+        # per-instance override stats; the device state keeps the failed
+        # lanes' phase-1 result.  endgame='f64' keeps the pure-device
+        # rescue (lane-shrunk below).
+        host_rescue = (opts.endgame in ("auto", "host")
+                       and self.mesh is None)
+        if host_rescue:
+            from ..native import available
+
+            host_rescue = available()
+
+        def _host_rescue(bad):
+            from ..solver.host import HostMPCSolver
+
+            o = self.opts
+            done = set()
+            for i in bad:
+                i = int(i)
+                if i >= self.n_real or i in done:
+                    continue  # batch-padding duplicate lane
+                done.add(i)
+                host = HostMPCSolver(
+                    self.qps[i], tol=o.tol, max_iter=o.max_iter,
+                    max_ncorr=o.max_ncorr, step_rule=o.step_rule,
+                    regularization=o.regularization,
+                    scaling=o.scaling,
+                    max_gradient=o.max_gradient,
+                    barrier_gate=o.barrier_gate, mu_min=o.mu_min,
+                    bound_push=o.bound_push, bound_fac=o.bound_fac,
+                    bound_relax_factor=o.bound_relax_factor,
+                    print_level=max(o.print_level, 30),  # no banners
+                )
+                self._rescue_overrides[i] = host.solve()
+
         def _solve_rescue(prob, x0, y0, lb, ub):
+            self._rescue_overrides = {}
             f1 = phase1(prob, x0, y0, lb, ub)
             statuses = np.asarray(jax.device_get(f1.status))
             bad = np.flatnonzero(statuses != S.SUCCESS)
             if bad.size == 0:
+                return f1
+            if host_rescue:
+                _host_rescue(bad)
                 return f1
             if self.mesh is not None or bad.size > statuses.size // 2:
                 # Sharded batches (lanes span devices) and mostly-failed
@@ -352,8 +396,15 @@ class BatchedMPCSolver:
             final = multihost_utils.process_allgather(final, tiled=True)
         else:
             final = jax.device_get(final)
+        overrides = getattr(self, "_rescue_overrides", {})
         out = []
         for i in range(self.n_real):
+            if i in overrides:
+                # Host-rescued lane: the host solver's stats are already in
+                # user coordinates (and its wall time was paid inside
+                # solve_batch, so the batch wall above is consistent).
+                out.append(overrides[i])
+                continue
             info = self.infos[i]
             qp = self.qps[i]
             x_int = np.asarray(final.x[i], dtype=np.float64)[: info.n]

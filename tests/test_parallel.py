@@ -137,7 +137,8 @@ def test_batched_lane_shrunk_rescue_matches_full_width():
         families=("illscaled", "svm", "redundant", "ranges"))]
     kw = dict(tol=1e-8, max_ncorr=0, factorization_dtype="float32",
               max_refine_steps=1, step_rule=mq.AdaptiveStep(0.995),
-              regularization=mq.FixedRegularization(1e-8, -1e-8))
+              regularization=mq.FixedRegularization(1e-8, -1e-8),
+              endgame="f64")  # pin the pure-device (lane-shrunk) rescue
     stats = BatchedMPCSolver.from_problems(qps, **kw).solve_all()
     # Full-width rescue reference values (recorded pre-change).  The
     # illscaled lane — the one that actually triggers the rescue — has no
@@ -152,3 +153,37 @@ def test_batched_lane_shrunk_rescue_matches_full_width():
         assert st.status == mq.Status.SOLVE_SUCCEEDED, (q.name, st.status)
         if q.name in expect:
             assert st.objective == pytest.approx(expect[q.name], rel=1e-4)
+
+
+def test_batched_host_rescue_default():
+    """endgame='auto' (default): lanes that fail the f32 phase re-solve on
+    the host C++ LDL path — every instance must come back SOLVE_SUCCEEDED
+    with the host's f64 objective, and untouched lanes keep their device
+    results."""
+    import madqp_tpu as mq
+    from madqp_tpu.models.suite import structured_suite
+    from madqp_tpu.native import available
+    from madqp_tpu.parallel import BatchedMPCSolver
+
+    if not available():
+        pytest.skip("native library unavailable")
+    qps = [qp for _, qp in structured_suite(
+        "medium", seeds=(0,),
+        families=("illscaled", "svm", "redundant", "ranges"))]
+    solver = BatchedMPCSolver.from_problems(
+        qps, tol=1e-8, max_ncorr=0, factorization_dtype="float32",
+        max_refine_steps=1, step_rule=mq.AdaptiveStep(0.995),
+        regularization=mq.FixedRegularization(1e-8, -1e-8))
+    stats = solver.solve_all()
+    rescued = getattr(solver, "_rescue_overrides", {})
+    assert rescued, "expected at least one host-rescued lane"
+    host_ref = {i: mq.solve_host(
+        qps[i], tol=1e-8, print_level=30, max_ncorr=0,
+        step_rule=mq.AdaptiveStep(0.995),
+        regularization=mq.FixedRegularization(1e-8, -1e-8))
+        for i in rescued}
+    for i, (q, st) in enumerate(zip(qps, stats)):
+        assert st.status == mq.Status.SOLVE_SUCCEEDED, (q.name, st.status)
+        if i in rescued:
+            assert st.objective == pytest.approx(
+                host_ref[i].objective, rel=1e-8)
