@@ -170,3 +170,17 @@ def test_panel_ldl_quasidefinite_signed_floor(rng):
     rec = np.asarray(L) @ np.diag(np.asarray(d)) @ np.asarray(L).T
     assert np.abs(rec - K).max() / np.abs(K).max() < 1e-13
     assert (np.sign(np.asarray(d)) == sgn).all()
+
+
+def test_dense_solver_blocked_backend_panel_regime():
+    """linear_solver='blocked' at n >= 1024 exercises the panel_ldl /
+    panel_inv_unit_lower dispatch inside the condensed KKT; must match
+    the XLA backend's result."""
+    import madqp_tpu as mq
+
+    qp = mq.random_qp(n=1100, m=200, seed=5, ineq=True)
+    ref = mq.solve(qp, tol=1e-8, print_level=0)
+    st = mq.solve(qp, tol=1e-8, print_level=0, linear_solver="blocked",
+                  factorization_dtype="float32", max_refine_steps=1)
+    assert st.status == ref.status == mq.Status.SOLVE_SUCCEEDED
+    assert st.objective == pytest.approx(ref.objective, rel=1e-7)
