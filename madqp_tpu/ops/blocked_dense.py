@@ -107,7 +107,160 @@ def inv_lower(L, unit: bool = False, blk: int = BLK):
 
 
 PANEL = 256          # right-looking panel width for large matrices
+OUTER = 2048         # outer stripe width of the two-level SPD path
 _PANEL_MIN = 1024    # 2-D inputs at least this wide take the panel path
+
+
+def _chol_block(D):
+    """Cholesky + explicit inverse of one (w, w) SPD panel via XLA's
+    native kernels.  At w=256 these are ~0.013 ms on a TPU v5e — three
+    orders of magnitude faster than the recursive blocked LDL base
+    (26.9 ms) that panel_ldl uses for the signed case."""
+    Lp = jax.lax.linalg.cholesky(D)
+    iLp = jax.lax.linalg.triangular_solve(
+        Lp, jnp.eye(D.shape[-1], dtype=D.dtype), left_side=True, lower=True)
+    return Lp, iLp
+
+
+def panel_chol(F, panel: int = PANEL, outer: int = OUTER):
+    """Two-level right-looking Cholesky for LARGE (n, n) SPD matrices:
+    returns the lower NON-unit factor L with F = L L'.
+
+    Level 1 (Python-unrolled, static shrinking shapes): stripes of
+    `outer` columns; after a stripe is factored, ONE right-sized GEMM
+    updates the trailing square.  Level 2 (lax.fori_loop, O(1) program
+    per stripe): `panel`-column steps inside the stripe, each a native
+    XLA cholesky + triangular inverse of the diagonal block plus a
+    stripe-width masked rank-panel GEMM.
+
+    Versus panel_ldl's one-level scheme this (a) replaces the 26.9 ms
+    recursive base with 0.03 ms XLA panel kernels and (b) cuts the
+    masked-GEMM waste from ~6x ideal flops to ~1.6x (masking is bounded
+    by the stripe, the cross-stripe updates are exact).  Program size is
+    O(n/outer) unrolled stripe bodies.
+
+    NaN from a non-SPD input propagates through cholesky and is caught
+    by the caller's factor_ok check (same contract as blocked_cholesky).
+    """
+    n = F.shape[-1]
+    dtype = F.dtype
+    Kp = -(-n // panel)
+    npad = Kp * panel
+    if npad != n:
+        pad = npad - n
+        F = jnp.pad(F, ((0, pad), (0, pad)))
+        F = F.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+
+    stripes = []          # (j0, width) static per stripe
+    j0 = 0
+    while j0 < npad:
+        w = min(outer, npad - j0)
+        stripes.append((j0, w))
+        j0 += w
+
+    def factor_stripe(S, h, w):
+        """Factor the leading w columns of the (h, w) trailing stripe.
+        Rows of stripe column c live at row index c (the stripe starts
+        at the diagonal).  Returns the (h, w) factor block-column."""
+        rows = jnp.arange(h)
+        cols = jnp.arange(w)
+
+        def body(ki, carry):
+            S, Lst = carry
+            c0 = ki * panel
+            D = jax.lax.dynamic_slice(S, (c0, c0), (panel, panel))
+            Lp, iLp = _chol_block(D)
+            col = jax.lax.dynamic_slice(S, (0, c0), (h, panel))
+            Z = col @ iLp.T
+            below = (rows >= c0 + panel)[:, None]
+            Zb = jnp.where(below, Z, jnp.zeros((), dtype))
+            Lcol = jax.lax.dynamic_update_slice(Zb, Lp, (c0, 0))
+            Lw = Lcol[:w]
+            Lwb = jnp.where((cols >= c0 + panel)[:, None], Lw,
+                            jnp.zeros((), dtype))
+            S = S - Zb @ Lwb.T
+            Lst = jax.lax.dynamic_update_slice(Lst, Lcol, (0, c0))
+            return S, Lst
+
+        L0 = jnp.zeros((h, w), dtype)
+        if w == panel:  # single-panel stripe: skip the loop machinery
+            _, Lst = body(0, (S, L0))
+            return Lst
+        _, Lst = jax.lax.fori_loop(0, w // panel, body, (S, L0))
+        return Lst
+
+    T = F
+    blocks = []
+    for j0, w in stripes:
+        h = npad - j0
+        Lst = factor_stripe(T[:, :w], h, w)
+        blocks.append(Lst)
+        if h > w:
+            Lb = Lst[w:, :]
+            T = T[w:, w:] - Lb @ Lb.T
+
+    L = jnp.zeros((npad, npad), dtype)
+    for (j0, w), Lst in zip(stripes, blocks):
+        L = jax.lax.dynamic_update_slice(L, Lst, (j0, j0))
+    return L[:n, :n]
+
+
+def panel_inv_lower(L, unit: bool = False, panel: int = PANEL):
+    """Explicit inverse of a LARGE (n, n) lower-triangular L (unit or
+    not): block forward solve L X = I with native XLA triangular_solve
+    panel bases and one masked rank-panel GEMM per fori_loop step."""
+    n = L.shape[-1]
+    K = -(-n // panel)
+    npad = K * panel
+    dtype = L.dtype
+    if npad != n:
+        pad = npad - n
+        L = jnp.pad(L, ((0, pad), (0, pad)))
+        L = L.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+    rows = jnp.arange(npad)
+    eye = jnp.eye(panel, dtype=dtype)
+
+    def body(k, X):
+        j0 = k * panel
+        L11 = jax.lax.dynamic_slice(L, (j0, j0), (panel, panel))
+        i11 = jax.lax.linalg.triangular_solve(
+            L11, eye, left_side=True, lower=True, unit_diagonal=unit)
+        Xk = i11 @ jax.lax.dynamic_slice(X, (j0, 0), (panel, npad))
+        colL = jax.lax.dynamic_slice(L, (0, j0), (npad, panel))
+        below = (rows >= j0 + panel)[:, None]
+        colLm = jnp.where(below, colL, jnp.zeros((), dtype))
+        X = X - colLm @ Xk
+        return jax.lax.dynamic_update_slice(X, Xk, (j0, 0))
+
+    X = jax.lax.fori_loop(0, K, body, jnp.eye(npad, dtype=dtype))
+    return X[:n, :n]
+
+
+def factor_inv_chol(Ms):
+    """Factor an SPD (n, n) matrix and invert the CHOLESKY FACTOR:
+    returns (L_chol, iL) with iL = L_chol^-1, so Ms^-1 r = iL' (iL r)
+    is two matvecs.  Large matrices take the two-level panel path (XLA
+    panel kernels + right-sized GEMMs); small ones the GEMM-rich
+    blocked LDL recursion.  The full inverse iL'iL is deliberately NOT
+    formed — that n^3 GEMM costs as much as the factorization itself on
+    this chip.  A non-SPD input yields NaNs in L_chol's diagonal
+    (factor_ok contract)."""
+    n = Ms.shape[-1]
+    if Ms.ndim == 2 and n >= _PANEL_MIN:
+        L = panel_chol(Ms)
+        return L, panel_inv_lower(L)
+    Lu, dd = blocked_ldl(Ms)
+    sq = jnp.sqrt(dd)
+    i11 = inv_unit_lower(Lu)
+    return Lu * sq[None, :], i11 / sq[:, None]
+
+
+def chol_explicit_inverse(Ms):
+    """Factor an SPD (n, n) matrix and form its explicit inverse:
+    returns (L_chol, Ms_inv).  Prefer factor_inv_chol unless the full
+    inverse matrix itself is needed."""
+    L, iL = factor_inv_chol(Ms)
+    return L, iL.T @ iL
 
 
 def panel_ldl(F, sgn=None, floor: float = 0.0, panel: int = PANEL):
@@ -147,7 +300,9 @@ def panel_ldl(F, sgn=None, floor: float = 0.0, panel: int = PANEL):
         sg = jax.lax.dynamic_slice(sgn_arr, (j0,), (panel,))
         L11, d1 = blocked_ldl(D11, sgn=sg if use_floor else None,
                               floor=floor)
-        i11 = inv_unit_lower(L11)
+        i11 = jax.lax.linalg.triangular_solve(
+            L11, jnp.eye(panel, dtype=dtype), left_side=True, lower=True,
+            unit_diagonal=True)
         Z = colblk @ i11.T
         below = (rows >= j0 + panel)[:, None]
         Zm = jnp.where(below, Z, jnp.zeros((), dtype))
@@ -165,32 +320,8 @@ def panel_ldl(F, sgn=None, floor: float = 0.0, panel: int = PANEL):
 
 
 def panel_inv_unit_lower(L, panel: int = PANEL):
-    """Explicit inverse of a LARGE (n, n) unit lower-triangular L: block
-    forward solve L X = I, one masked rank-panel GEMM per fori_loop step
-    (O(1) program size; ~6x ideal flops, all on the MXU)."""
-    n = L.shape[-1]
-    K = -(-n // panel)
-    npad = K * panel
-    dtype = L.dtype
-    if npad != n:
-        pad = npad - n
-        L = jnp.pad(L, ((0, pad), (0, pad)))
-        L = L.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
-    rows = jnp.arange(npad)
-
-    def body(k, X):
-        j0 = k * panel
-        L11 = jax.lax.dynamic_slice(L, (j0, j0), (panel, panel))
-        i11 = inv_unit_lower(L11)
-        Xk = i11 @ jax.lax.dynamic_slice(X, (j0, 0), (panel, npad))
-        colL = jax.lax.dynamic_slice(L, (0, j0), (npad, panel))
-        below = (rows >= j0 + panel)[:, None]
-        colLm = jnp.where(below, colL, jnp.zeros((), dtype))
-        X = X - colLm @ Xk
-        return jax.lax.dynamic_update_slice(X, Xk, (j0, 0))
-
-    X = jax.lax.fori_loop(0, K, body, jnp.eye(npad, dtype=dtype))
-    return X[:n, :n]
+    """Explicit inverse of a LARGE (n, n) unit lower-triangular L."""
+    return panel_inv_lower(L, unit=True, panel=panel)
 
 
 def blocked_ldl(F, sgn=None, floor: float = 0.0, blk: int = BLK):
@@ -224,6 +355,9 @@ def blocked_cholesky(F, blk: int = BLK):
     """SPD Cholesky of (..., w, w) via blocked LDL^T: L_chol = L * sqrt(d).
     Drop-in for jnp.linalg.cholesky (lower), GEMM-rich.  No pivoting: the
     IPM's regularized normal/augmented systems keep pivots positive; NaN
-    from a non-SPD input propagates and is caught by factor_ok."""
+    from a non-SPD input propagates and is caught by factor_ok.  Large
+    2-D inputs take the two-level panel path."""
+    if F.ndim == 2 and F.shape[-1] >= _PANEL_MIN:
+        return panel_chol(F)
     L, d = blocked_ldl(F, blk=blk)
     return L * jnp.sqrt(d)[..., None, :]

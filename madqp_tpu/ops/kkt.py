@@ -50,6 +50,10 @@ class CondensedFactors(NamedTuple):
     A: jax.Array                  # (m, n) kept for the solve
     W_inv: Optional[jax.Array] = None  # explicit scaled inverses (solve_mode
     S_inv: Optional[jax.Array] = None  # 'inverse': backsolves become matvecs)
+    W_iL: Optional[jax.Array] = None  # blocked path: inverse CHOLESKY factors
+    S_iL: Optional[jax.Array] = None  # (M^-1 r = D iL' iL D r, two matvecs —
+    #                                    forming iL'iL explicitly is an n^3
+    #                                    GEMM/factorization we never need)
 
 
 class DenseCondensedKKT:
@@ -81,42 +85,50 @@ class DenseCondensedKKT:
             self._chol = lambda M: jsl.cholesky(M, lower=True)
 
     def _blocked_inv(self, M):
-        """GEMM-rich factor + explicit inverse (ops/blocked_dense): XLA's
-        dense cholesky/triangular_solve lower to sequential column sweeps
-        on TPU; the blocked LDL keeps the O(n^3) work in matmuls and the
-        explicit inverse turns every later backsolve into one matvec.
-        Returns (chol_like_factor_for_factor_ok, unscaled M^-1)."""
-        from .blocked_dense import blocked_ldl, inv_unit_lower
+        """GEMM-rich factor + INVERSE CHOLESKY FACTOR (ops/blocked_dense):
+        XLA's dense cholesky/triangular_solve lower to sequential column
+        sweeps on TPU; the blocked/panel factorizations keep the O(n^3)
+        work in matmuls and the explicit inverse FACTOR iL = L_chol^-1
+        turns every later backsolve into two matvecs (M^-1 r =
+        D iL' iL D r).  The full inverse iL'iL is never formed — that
+        extra n^3 GEMM costs as much as the factorization itself on this
+        chip (measured: chol+full-inverse 5.2 s vs chol 1.25 s at
+        n=8192).  Returns (chol_like_factor_for_factor_ok, iL, scale)."""
+        from .blocked_dense import factor_inv_chol
 
         d = jnp.diagonal(M)
         scale = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(d), 1e-300))
         Ms = scale[:, None] * M * scale[None, :]
         if self.fact_dtype is not None and Ms.dtype != self.fact_dtype:
             Ms = Ms.astype(self.fact_dtype)
-        Lu, dd = blocked_ldl(Ms)
-        i11 = inv_unit_lower(Lu)
-        # M^-1 = D Ms^-1 D,  Ms^-1 = Lu^-T D_d^-1 Lu^-1
-        Minv_s = i11.T @ (i11 / dd[:, None])
-        Minv = (scale[:, None] * Minv_s.astype(scale.dtype)) * scale[None, :]
-        # sqrt(dd) is NaN for a negative pivot, so factor_ok's
-        # isfinite-and-positive diagonal check still detects failure.
-        return Lu * jnp.sqrt(dd)[None, :], Minv
+        # A non-SPD input leaves NaNs in the factor's diagonal, so
+        # factor_ok's isfinite-and-positive check still detects failure.
+        Lc, iL = factor_inv_chol(Ms)
+        return Lc, iL, scale
+
+    def _iL_apply(self, iL, scale, r, out_dtype):
+        """M^-1 r = D (iL' (iL (D r))) with D = diag(scale); works for
+        vector or matrix r (columns are independent solves)."""
+        rs = scale[:, None] * r if r.ndim == 2 else scale * r
+        y = iL.T @ (iL @ rs.astype(iL.dtype))
+        y = y.astype(out_dtype)
+        return scale[:, None] * y if r.ndim == 2 else scale * y
 
     def _factorize_blocked(self, prob, pr_diag, del_c):
         H, A = prob.H, prob.A
         m = A.shape[0]
         if H is None:
-            chol_W, W_inv = None, None
+            chol_W, W_iL, w_scale = None, None, None
             Winv_AT = A.T / pr_diag[:, None]
         else:
-            chol_W, W_inv = self._blocked_inv(H + jnp.diag(pr_diag))
-            Winv_AT = W_inv @ A.T
+            chol_W, W_iL, w_scale = self._blocked_inv(H + jnp.diag(pr_diag))
+            Winv_AT = self._iL_apply(W_iL, w_scale, A.T, A.dtype)
         S = A @ Winv_AT - del_c * jnp.eye(m, dtype=A.dtype)
-        chol_S, S_inv = self._blocked_inv(S)
+        chol_S, S_iL, s_scale = self._blocked_inv(S)
         return CondensedFactors(
-            chol_W=chol_W, w_scale=None, w_diag=pr_diag,
-            chol_S=chol_S, s_scale=None, A=A,
-            W_inv=W_inv, S_inv=S_inv,
+            chol_W=chol_W, w_scale=w_scale, w_diag=pr_diag,
+            chol_S=chol_S, s_scale=s_scale, A=A,
+            W_iL=W_iL, S_iL=S_iL,
         )
 
     def _explicit_inverse(self, chol, scale):
@@ -180,11 +192,15 @@ class DenseCondensedKKT:
     def _W_solve(self, f: CondensedFactors, r):
         if f.chol_W is None:
             return r / f.w_diag
+        if f.W_iL is not None:
+            return self._iL_apply(f.W_iL, f.w_scale, r, r.dtype)
         if f.W_inv is not None:
             return f.W_inv @ r
         return self._chol_apply(f.chol_W, f.w_scale, r, r.dtype)
 
     def _S_solve(self, f: CondensedFactors, r):
+        if f.S_iL is not None:
+            return self._iL_apply(f.S_iL, f.s_scale, r, r.dtype)
         if f.S_inv is not None:
             return f.S_inv @ r
         return self._chol_apply(f.chol_S, f.s_scale, r, r.dtype)
@@ -240,9 +256,10 @@ class K2Factors(NamedTuple):
 
 
 class K2BlockedFactors(NamedTuple):
-    Kinv: jax.Array   # explicit (unscaled) K^-1: every solve is one matvec
-    d: jax.Array      # LDL pivots (inertia check)
+    iLu: jax.Array    # inverse UNIT-LDL factor: K^-1 r = S iLu' D^-1 iLu S r
+    d: jax.Array      # LDL pivots (inertia check + the D^-1 in solves)
     sgn: jax.Array    # expected pivot signs (+1 x n, -1 x m)
+    scale: Optional[jax.Array] = None  # K2.5 Jacobi scale S (None = unscaled)
 
 
 class DenseK2KKT:
@@ -276,11 +293,11 @@ class DenseK2KKT:
         floor = 1e-6 if (self.fact_dtype == jnp.float32
                          and scale is not None) else 0.0
         Lu, d = blocked_ldl(Kf, sgn=sgn, floor=floor)
+        # Keep the inverse unit factor, not the full K^-1: the extra
+        # (n+m)^3 GEMM i11' D^-1 i11 costs as much as the factorization
+        # itself on this chip; solves are two matvecs + a diagonal scale.
         i11 = inv_unit_lower(Lu)
-        Kinv = (i11.T @ (i11 / d[:, None])).astype(K.dtype)
-        if scale is not None:   # K2.5: fold D Ks^-1 D into the inverse
-            Kinv = (scale[:, None] * Kinv) * scale[None, :]
-        return K2BlockedFactors(Kinv=Kinv, d=d, sgn=sgn)
+        return K2BlockedFactors(iLu=i11, d=d, sgn=sgn, scale=scale)
 
     def _assemble(self, H, A, pr_diag, del_c):
         n = pr_diag.shape[0]
@@ -307,7 +324,12 @@ class DenseK2KKT:
         n = rx.shape[0]
         rhs = jnp.concatenate([rx, ry])
         if isinstance(f, K2BlockedFactors):
-            d = (f.Kinv @ rhs.astype(f.Kinv.dtype)).astype(rx.dtype)
+            rs = rhs * f.scale if f.scale is not None else rhs
+            y = f.iLu @ rs.astype(f.iLu.dtype)
+            y = f.iLu.T @ (y / f.d)
+            d = y.astype(rx.dtype)
+            if f.scale is not None:
+                d = d * f.scale
             return d[:n], d[n:]
         d = jsl.lu_solve((f.lu, f.piv), rhs.astype(f.lu.dtype))
         d = d.astype(rx.dtype)

@@ -829,6 +829,13 @@ def autosolve(qp: QuadraticProblem, dense_limit: int = 1500,
     dense_h = qp.H is not None and nnz_h > 0.25 * n * n
     if internal <= dense_limit or density > 0.25 or dense_h:
         kwargs.setdefault("pad_mode", "bucket")
+        if internal >= 2048:
+            # Large genuinely-dense problems: the panel-Cholesky blocked
+            # backend (factored inverse, matvec backsolves) beats the XLA
+            # cholesky + sequential-triangular-solve path end-to-end
+            # (measured same-chip: 14.3 vs 15.2 s at n=4096, 59 vs 313 s
+            # at n=8192 — benchmarks/results/dense_large.json).
+            kwargs.setdefault("linear_solver", "blocked")
         return solve(qp, **kwargs)
     from .sparse_qp import solve_sparse_qp
 
