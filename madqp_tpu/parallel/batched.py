@@ -206,27 +206,33 @@ class BatchedMPCSolver:
             and (dim >= 512 or _flops(opts) > 5e11))
 
         def _chunk_iters(o, nlanes=None) -> int:
-            # Size the chunk to a per-dispatch work target (~2e10 flops in
-            # f32, ~4x less for ~10-20x-slower emulated f64), clamped to
-            # [1, 8].  At the structured:large 1024-bucket sizes this
-            # reproduces the hand constants that fixed the worker crash:
-            # 8 iterations/chunk in f32, 2 in emulated f64.
+            # Cap the per-dispatch work (~5e10 flops in f32, 10x less for
+            # ~10-20x-slower emulated f64), clamped to [1, 32] f32 /
+            # [1, 8] f64.  The cap bounds the WORST case only: the chunk
+            # is a capped while_loop that exits as soon as every lane is
+            # terminal, so a generous cap costs nothing when lanes
+            # converge early — versus the earlier fixed-length fori chunks
+            # ([1, 8]) that paid a host round-trip every 8 iterations
+            # (measured: 60 s warm for a 4-lane 512-dim bucket whose
+            # single-dispatch solve is ~2 s).
             per_iter = max((nlanes or lanes) * dim ** 3 / 3.0, 1.0)
-            target = 5e9 if _eff_f64(o) else 2e10
-            return max(1, min(8, int(target / per_iter)))
+            hi, target = (8, 5e9) if _eff_f64(o) else (32, 5e10)
+            return max(1, min(hi, int(target / per_iter)))
 
         def _stepped_run(kernel, warm: bool, chunk: int):
             def chunk_fn(prob, st):
-                # Freeze terminal lanes explicitly (same masking as the
-                # vmapped while_loop) instead of relying on iteration()
-                # being a fixed point on non-RUNNING states.
-                def body(_, s):
-                    return jax.lax.cond(
-                        s.status == S.RUNNING,
-                        lambda s: kernel.iteration(prob, s),
-                        lambda s: s, s)
+                # Bounded-iteration while_loop: under vmap this lowers to
+                # the same select-masked lockstep as the full solve (lanes
+                # whose status leaves RUNNING freeze), but each dispatch
+                # runs at most `chunk` iterations and exits EARLY once the
+                # whole batch is terminal.
+                k0 = st.k
 
-                return jax.lax.fori_loop(0, chunk, body, st)
+                def cond(s):
+                    return (s.status == S.RUNNING) & (s.k - k0 < chunk)
+
+                return jax.lax.while_loop(
+                    cond, lambda s: kernel.iteration(prob, s), st)
 
             init_fn = kernel.init_state_warm if warm else kernel.init_state
             init = _wrap(jax.vmap(init_fn))
