@@ -101,12 +101,12 @@ def run_instance(name, qp, options, repeat=1):
     return record
 
 
-def generated_suite(kind: str, sizes):
+def generated_suite(kind: str, sizes, families=()):
     if kind.startswith("structured"):
         from madqp_tpu.models.suite import structured_suite
 
         size = kind.split(":")[1] if ":" in kind else "medium"
-        yield from structured_suite(size)
+        yield from structured_suite(size, families=tuple(families))
         return
     for n in sizes:
         m = max(1, n // 2)
@@ -174,6 +174,11 @@ def main():
                     help="checkpoint/resume: skip instances already recorded "
                          "in --out and append new results (SURVEY §5.4)")
     ap.add_argument("--exclude", default="", help="comma-separated instance names")
+    ap.add_argument("--families", default="",
+                    help="restrict --suite structured:* to these comma-"
+                         "separated family names (models/suite.py _MAKERS); "
+                         "with --resume this lets per-family backend choices "
+                         "accumulate into one --out file)")
     ap.add_argument("--exclude-preset", default="", choices=["", "netlib", "mm"],
                     help="concrete exclusion list for the real suites "
                          "(fetch_suites.EXCLUSIONS; reference "
@@ -235,8 +240,9 @@ def main():
                 print(json.dumps({"name": nm, "status": f"read_error:{e}"}))
     else:
         sizes = [int(s) for s in args.sizes.split(",")]
+        families = tuple(filter(None, args.families.split(",")))
         instances = [
-            (nm, qp) for nm, qp in generated_suite(args.suite, sizes)
+            (nm, qp) for nm, qp in generated_suite(args.suite, sizes, families)
             if nm not in excluded
         ]
 
