@@ -264,7 +264,8 @@ class BatchedMPCSolver:
         # an iteration or two).  Without this, one ill-conditioned lane
         # burns max_iter iterations for the whole batch.
         opts1 = dataclasses.replace(
-            opts, stall_exit=opts.stall_exit if opts.stall_exit > 0 else 5)
+            opts, stall_exit=opts.stall_exit if opts.stall_exit > 0 else 5,
+            max_iter=min(opts.max_iter, opts.phase1_max_iter))
         opts2 = dataclasses.replace(opts, factorization_dtype="")
         kern2 = MPCKernel(opts2)
         if stepped:

@@ -346,7 +346,8 @@ class MPCSolver:
 
             opts1 = dataclasses.replace(
                 opts, stall_exit=opts.stall_exit if opts.stall_exit > 0
-                else 5)
+                else 5,
+                max_iter=min(opts.max_iter, opts.phase1_max_iter))
             opts2 = dataclasses.replace(opts, factorization_dtype="")
             fns1 = _jitted_kernel(opts1)
             fns2 = _jitted_kernel(opts2)

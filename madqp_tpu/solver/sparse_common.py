@@ -344,6 +344,7 @@ def two_phase_opts(opts):
     opts1 = dataclasses.replace(
         opts, tol=opts.phase1_tol,
         stall_exit=opts.stall_exit if opts.stall_exit > 0 else 5,
+        max_iter=min(opts.max_iter, opts.phase1_max_iter),
     )
     if opts.endgame == "krylov":
         # keep the f32 factorization plan; phase 2 solves in f64 via

@@ -192,6 +192,19 @@ class IPMOptions:
     # the f32 phase: an f32 kernel at its precision floor burns iterations
     # and degrades the warm start it hands to the f64 endgame.
     stall_exit: int = 0
+    # Iteration cap for the f32 phase whenever a full-precision rescue /
+    # endgame phase exists (two-phase sparse drivers, dense + batched
+    # mixed-precision rescue).  Stall detection catches monotone
+    # stagnation but not oscillation: a degenerate lane that cycles at
+    # its f32 precision floor otherwise burns the full max_iter (default
+    # 3000 — the reference benchmark configs use 300) in lockstep before
+    # the rescue is allowed to run; measured 167 s warm wall on the
+    # structured:large 1024-dim batched bucket.  Healthy f32 phases
+    # finish in 10-40 iterations, so 80 is ~2x headroom; the capped
+    # lanes exit with MAX_ITER and are warm-started by the rescue phase
+    # exactly like stalled ones.  Only applied where a phase 2 exists —
+    # single-phase solves keep max_iter untouched.
+    phase1_max_iter: int = 80
     # Output — Python-logging-style thresholds (HIGHER = quieter):
     # 5=TRACE 10=DEBUG 20=INFO 25=NOTICE 30=WARN 40=ERROR.  0 is NOTSET and
     # means "logging disabled" (silent), matching both Python logging's

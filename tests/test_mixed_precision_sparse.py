@@ -191,3 +191,22 @@ class TestHostEndgame:
         assert warm.status == mq.Status.SOLVE_SUCCEEDED
         assert warm.iter <= cold_iters
         assert warm.objective == pytest.approx(ref.objective, abs=1e-6)
+
+
+def test_phase1_max_iter_caps_f32_phase():
+    """phase1_max_iter bounds the f32 phase wherever a rescue phase
+    exists (options.py) — stall detection misses oscillating lanes,
+    which otherwise burn the full max_iter in lockstep before rescue."""
+    from madqp_tpu.solver.sparse_common import two_phase_opts
+    from madqp_tpu.utils.options import IPMOptions
+
+    opts = IPMOptions(factorization_dtype="float32", max_iter=300)
+    o1, o2 = two_phase_opts(opts)
+    assert o1.max_iter == opts.phase1_max_iter == 80
+    assert o2.max_iter == 300          # endgame keeps the user's budget
+    assert o1.stall_exit == 5
+
+    # a user budget below the cap wins
+    o1, _ = two_phase_opts(IPMOptions(factorization_dtype="float32",
+                                      max_iter=40))
+    assert o1.max_iter == 40
