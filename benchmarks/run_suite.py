@@ -26,7 +26,33 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import madqp_tpu as mq  # noqa: E402
 
 
-def run_instance(name, qp, options, repeat=1):
+def _load_guard(context, threshold=1.0, wait=False):
+    """Record the 1-minute host load average before a timed section.
+
+    Round-3 post-mortem: the committed xlarge host baseline was taken
+    while TPU compiles saturated the 4 CPU cores, inflating host wall
+    times 22-112x; nothing in the harness recorded or guarded against
+    it.  Every timed solve now records the pre-solve load and the run
+    warns loudly when it exceeds `threshold`.  With wait=True the
+    harness sleeps until the host quiets down (bounded at 10 min) so
+    baseline timings are never taken on a contended machine.
+    """
+    load = os.getloadavg()[0]
+    if wait:
+        deadline = time.time() + 600
+        while load > threshold and time.time() < deadline:
+            print(f"# load-guard: load {load:.2f} > {threshold} before "
+                  f"{context}; waiting for quiet host", file=sys.stderr)
+            time.sleep(15)
+            load = os.getloadavg()[0]
+    if load > threshold:
+        print(f"# LOAD WARNING: 1-min load {load:.2f} > {threshold} at "
+              f"start of {context} — wall times may be inflated by "
+              "contention; do not commit as a baseline", file=sys.stderr)
+    return load
+
+
+def run_instance(name, qp, options, repeat=1, quiet_load=False):
     """import -> presolve -> scale -> solve -> 9-column record
     (reference run_benchmark, scripts/benchmarks_cpu.jl:12-60).
 
@@ -78,20 +104,34 @@ def run_instance(name, qp, options, repeat=1):
                 record["iter"] = 0
             return record
         qp_s, scaling = mq.scale_qp(qp_p)
+        record["load_1min"] = _load_guard(f"solve of {name}",
+                                          wait=quiet_load)
         t0 = time.time()
         stats = dispatch(qp_s, solve_opts, backend)
         record["total_time"] = time.time() - t0
         stats = mq.unscale_stats(scaling, stats)
         record["status"] = int(stats.status == mq.Status.SOLVE_SUCCEEDED)
+        # Distinguish "certified infeasible/unbounded" from a bare failure
+        # (the 0/1 column mirrors the reference's success flag,
+        # scripts/tables/generate_tables.jl:66-68).
+        record["status_detail"] = stats.status.name
         record["iter"] = stats.iter
         record["objective"] = stats.objective
-        record["linear_solver_time"] = stats.counters.linear_solver_time
+        # Honest schema: the reference's linear_solver_time column
+        # (scripts/benchmarks_cpu.jl:55) is only emitted when it was
+        # actually measured — a 0.0 placeholder reads as "free".
+        ls_t = stats.counters.linear_solver_time
+        record["linear_solver_time"] = (
+            ls_t if (options.get("measure_linear_solver") or ls_t > 0.0)
+            else None)
         if repeat > 1 and record["status"] == 1:
             import dataclasses as _dc
 
             walls = []
             for r in range(1, repeat):
                 qp_r = _dc.replace(qp_s, c=qp_s.c * (1.0 + 1e-6 * r))
+                record["load_1min"] = _load_guard(
+                    f"warm re-solve of {name}", wait=quiet_load)
                 tw = time.time()
                 dispatch(qp_r, solve_opts, backend)
                 walls.append(time.time() - tw)
@@ -178,7 +218,11 @@ def main():
                     help="restrict --suite structured:* to these comma-"
                          "separated family names (models/suite.py _MAKERS); "
                          "with --resume this lets per-family backend choices "
-                         "accumulate into one --out file)")
+                         "accumulate into one --out file")
+    ap.add_argument("--quiet-load", action="store_true",
+                    help="wait (up to 10 min) for the 1-min host load to "
+                         "drop below 1.0 before every timed solve; always "
+                         "recorded per-instance as load_1min either way")
     ap.add_argument("--exclude-preset", default="", choices=["", "netlib", "mm"],
                     help="concrete exclusion list for the real suites "
                          "(fetch_suites.EXCLUSIONS; reference "
@@ -241,6 +285,9 @@ def main():
     else:
         sizes = [int(s) for s in args.sizes.split(",")]
         families = tuple(filter(None, args.families.split(",")))
+        if families and not args.suite.startswith("structured"):
+            ap.error(f"--families only applies to --suite structured:*, "
+                     f"not {args.suite!r}")
         instances = [
             (nm, qp) for nm, qp in generated_suite(args.suite, sizes, families)
             if nm not in excluded
@@ -285,6 +332,8 @@ def main():
             groups.setdefault(key, []).append((nm, qp))
         for key in sorted(groups):
             batch = groups[key]
+            load = _load_guard(f"batched bucket {key}",
+                               wait=args.quiet_load)
             t0 = time.time()
             solver = BatchedMPCSolver.from_problems(
                 [qp for _, qp in batch], **solve_opts)
@@ -318,13 +367,15 @@ def main():
                     "total_time": total,  # shared bucket-batch wall time
                     "warm_time": warm,    # shared in-process warm re-solve
                     "linear_solver_time": None,  # not measured in batched mode
+                    "load_1min": load,
                 }
                 results.append(rec)
                 print(json.dumps(rec), flush=True)
             _checkpoint()
     else:
         for nm, qp in instances:
-            rec = run_instance(nm, qp, options, repeat=args.repeat)
+            rec = run_instance(nm, qp, options, repeat=args.repeat,
+                               quiet_load=args.quiet_load)
             results.append(rec)
             print(json.dumps(rec), flush=True)
             _checkpoint()  # per-instance: a killed run resumes with --resume

@@ -430,6 +430,27 @@ class HostMPCSolver:
                     and float(K._inf_norm(x)) > opts.diverge_tol):
                 status = Status.DIVERGING_ITERATES
                 break
+            # Early certified exit: once the iterates have clearly
+            # diverged, try the actual Farkas / descent-ray certificate
+            # in-loop (one transpose matvec) instead of burning the
+            # remaining iteration budget before the exit-time check.
+            # The infeasible-by-construction portfolio_800 of round 3 ran
+            # the full 300 iterations on both backends this way; with
+            # the in-loop certificate it exits as soon as the dual ray
+            # stabilizes.  The signature checks above stay as a cheap
+            # fast path (the reference has no such detection at all,
+            # /root/reference/src/solver.jl:279-283).
+            if k % 5 == 0 and dual_mag > opts.diverge_tol:
+                from .certificates import farkas_certificate
+                if farkas_certificate(self.std, np.asarray(y)):
+                    status = Status.INFEASIBLE_PROBLEM_DETECTED
+                    break
+            if (k % 5 == 0
+                    and float(K._inf_norm(x)) > opts.diverge_tol):
+                from .certificates import unbounded_certificate
+                if unbounded_certificate(self.std, np.asarray(x)):
+                    status = Status.UNBOUNDED_PROBLEM_DETECTED
+                    break
             if k >= opts.max_iter:
                 status = Status.MAXIMUM_ITERATIONS_EXCEEDED
                 break

@@ -200,10 +200,15 @@ class IPMOptions:
     # 3000 — the reference benchmark configs use 300) in lockstep before
     # the rescue is allowed to run; measured 167 s warm wall on the
     # structured:large 1024-dim batched bucket.  Healthy f32 phases
-    # finish in 10-40 iterations, so 80 is ~2x headroom; the capped
-    # lanes exit with MAX_ITER and are warm-started by the rescue phase
-    # exactly like stalled ones.  Only applied where a phase 2 exists —
-    # single-phase solves keep max_iter untouched.
+    # finish in 10-40 iterations, so 80 is ~2x headroom.  Capped lanes
+    # exit with MAX_ITER; the sparse/dense phase-2 endgames warm-start
+    # from the phase-1 iterate, but the batched host rescue
+    # (parallel/batched.py::_host_rescue) is a cold re-solve — raising
+    # this cap trades f32 lockstep time against cold host re-solves for
+    # genuinely hard lanes.  Must be >= 1 (validated in load_options);
+    # only applied where a phase 2 exists — single-phase solves keep
+    # max_iter untouched.  Raise it for very hard instances that
+    # legitimately need >80 f32 iterations before the endgame.
     phase1_max_iter: int = 80
     # Output — Python-logging-style thresholds (HIGHER = quieter):
     # 5=TRACE 10=DEBUG 20=INFO 25=NOTICE 30=WARN 40=ERROR.  0 is NOTSET and
@@ -311,4 +316,9 @@ def load_options(**kwargs) -> Tuple[IPMOptions, dict]:
         raise ValueError(
             f"loop_mode={known['loop_mode']!r} is not supported; "
             "valid values: 'auto', 'jit', 'python'")
+    if known.get("phase1_max_iter", 80) < 1:
+        raise ValueError(
+            f"phase1_max_iter={known['phase1_max_iter']} must be >= 1 "
+            "(a zero-iteration f32 phase would still compile but push "
+            "all work to the expensive full-precision rescue)")
     return IPMOptions(**known), ignored

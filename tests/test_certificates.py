@@ -112,3 +112,33 @@ class TestCertifyExitStatus:
         s = certify_exit_status(INFEAS, np.ones(2), np.ones(2),
                                 Status.MAXIMUM_ITERATIONS_EXCEEDED)
         assert s == Status.MAXIMUM_ITERATIONS_EXCEEDED
+
+
+class TestInLoopCertificate:
+    def test_host_exits_early_on_certified_infeasibility(self):
+        """The host loop attempts the Farkas certificate in-loop once the
+        duals diverge (every 5 iterations) instead of burning the whole
+        iteration budget before the exit-time check — the round-3
+        infeasible portfolio_800 ran 300/300 iterations this way."""
+        import scipy.sparse as sp
+
+        import madqp_tpu as mq
+
+        n, ngroup = 200, 10
+        rng = np.random.default_rng(0)
+        G = np.zeros((ngroup, n))
+        for g in range(ngroup):
+            G[g, g::ngroup] = 1.0
+        A = np.vstack([np.ones(n), G])
+        # group floors sum to 2.0 > budget 1.0: infeasible by construction
+        qp = mq.QuadraticProblem(
+            c=-rng.uniform(0.02, 0.2, n), H=None, A=sp.csr_matrix(A),
+            lcon=np.concatenate([[1.0], np.full(ngroup, 0.2)]),
+            ucon=np.concatenate([[1.0], np.full(ngroup, 0.8)]),
+            lvar=np.zeros(n), uvar=np.full(n, 0.15),
+            name="infeasible_portfolio_lp",
+        )
+        st = mq.solve_host(qp, tol=1e-8, max_iter=300, print_level=0,
+                           regularization=mq.FixedRegularization(1e-8, -1e-8))
+        assert st.status == Status.INFEASIBLE_PROBLEM_DETECTED
+        assert st.iter < 150  # early, not at the 300 cap
