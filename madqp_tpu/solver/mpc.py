@@ -486,7 +486,12 @@ class MPCKernel:
             )
 
         def finish(s: IPMState) -> IPMState:
-            return s._replace(status=new_status)
+            # Preserve an already-terminal status: when the pipelined
+            # stepped loop re-dispatches on a frozen state, new_status can
+            # read RUNNING (recomputed from unchanged residuals) and must
+            # not resurrect the state.
+            return s._replace(status=jnp.where(
+                s.status == RUNNING, new_status, s.status))
 
         def work(state: IPMState) -> IPMState:
             del_w, del_c, reg_p, reg_d = self._update_regularization(state)
@@ -575,7 +580,15 @@ class MPCKernel:
             )
             return _tree_select(initialized, new_state, init_state)
 
-        return lax.cond(new_status == RUNNING, work, finish, state)
+        # Also require state.status == RUNNING: a terminal state must stay
+        # frozen when `iteration` is dispatched again (the pipelined
+        # stepped loop reads status back only every few steps, and e.g. a
+        # STEP_ERROR state would otherwise recompute status=RUNNING from
+        # its unchanged residuals and silently retry).  The while_loop
+        # path never dispatches on a terminal state, so this is a no-op
+        # there.
+        return lax.cond((new_status == RUNNING) & (state.status == RUNNING),
+                        work, finish, state)
 
     # -- starting point (src/solver.jl:6-182) --------------------------------
 
