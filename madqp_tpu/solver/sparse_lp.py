@@ -178,6 +178,22 @@ class DeviceSparseNormalKKT:
         # phase (SPARSE_PLAN S3): compile cost O(levels x buckets) instead of
         # O(supernodes), and every bucket is one MXU-batched dense front.
         self.mode = mode
+        if mode == "dense":
+            # Dense-normal regime (small m): scatter the assembled upper
+            # entries into ONE (m, m) matrix and factor it with the
+            # GEMM-rich dense inverse-factor Cholesky
+            # (ops/blocked_dense.factor_inv_chol) — backsolves become two
+            # MXU matvecs.  For m <= ~4k the supernodal scan's hundreds
+            # of small bucket ops are latency-bound on TPU (measured
+            # ~1.4 s/iter on staircase m=2000 vs ~0.1 s dense); one
+            # padded dense factorization is how the chip wants this
+            # shape.  The reference reaches the same regime through
+            # cuDSS's internal dense-front switch.
+            self.symb = None
+            self.value_gather = None
+            self.use_ldl = False
+            self._device_idx = None
+            return
         if mode == "batched":
             self.symb = SC.analyze_batched(
                 S_pat, order=order, max_supernode=max_supernode,
@@ -216,18 +232,22 @@ class DeviceSparseNormalKKT:
     def host_idx(self) -> dict:
         """Index bundle in host (numpy) form — folded as constants when a
         problem carries no device bundle."""
-        return dict(
-            sym=self.symb, pair_p=self.pair_p, pair_q=self.pair_q,
+        d = dict(
+            pair_p=self.pair_p, pair_q=self.pair_q,
             pair_k=self.pair_k, pair_e=self.pair_e,
             diag_pos=self.diag_pos, entry_row=self.entry_row,
-            entry_col=self.entry_col, value_gather=self.value_gather,
+            entry_col=self.entry_col,
         )
+        if self.mode != "dense":
+            d["sym"] = self.symb
+            d["value_gather"] = self.value_gather
+        return d
 
     def device_idx(self) -> Optional[dict]:
         """Device-resident twin of host_idx(), built once; pass as a jit
         argument (prob.idx) to keep index arrays out of the module.  Only
         the batched mode's schedule is pytree-registered."""
-        if self.mode != "batched":
+        if self.mode not in ("batched", "dense"):
             return None
         if self._device_idx is None:
             self._device_idx = jax.device_put(self.host_idx())
@@ -260,6 +280,30 @@ class DeviceSparseNormalKKT:
         s_diag = s_vals[ix["diag_pos"]]
         scale = jax.lax.rsqrt(jnp.maximum(s_diag, jnp.finfo(s_diag.dtype).tiny))
         s_vals = s_vals * scale[ix["entry_row"]] * scale[ix["entry_col"]]
+        if self.mode == "dense":
+            if self.fact_dtype is not None and s_vals.dtype != self.fact_dtype:
+                s_vals = s_vals.astype(self.fact_dtype)
+            from ..ops.blocked_dense import (blocked_ldl, factor_inv_chol,
+                                            inv_unit_lower)
+
+            m = self.m
+            Su = jnp.zeros((m, m), s_vals.dtype)
+            Su = Su.at[ix["entry_row"], ix["entry_col"]].set(s_vals)
+            Sd = Su + Su.T - jnp.diag(jnp.diagonal(Su))
+            if self.fact_dtype == jnp.float32:
+                # f32 needs the same cuDSS-style pivot flooring the
+                # supernodal f32 path uses: plain Cholesky of the
+                # (cond~1e8 near convergence) normal matrix goes negative
+                # in the trailing pivots on degenerate LPs and the retry
+                # escalation can't save it (measured: transport xlarge
+                # burned 80 capped f32 iterations).  Backsolve = two
+                # unit-lower matvecs + a diagonal scale.
+                sg = jnp.ones((m,), s_vals.dtype)
+                Lu, dd = blocked_ldl(Sd, sgn=sg, floor=1e-6)
+                iLu = inv_unit_lower(Lu)
+                return ((Lu, iLu, dd), D, scale, prob, del_c)
+            Lc, iL = factor_inv_chol(Sd)
+            return ((Lc, iL, None), D, scale, prob, del_c)
         s_vals = s_vals[ix["value_gather"]]
         if self.fact_dtype is not None and s_vals.dtype != self.fact_dtype:
             # Mixed precision (see sparse_qp): f32 factorization; the MPC
@@ -282,6 +326,12 @@ class DeviceSparseNormalKKT:
         out_dtype = r2.dtype
         if self.fact_dtype is not None and r2.dtype != self.fact_dtype:
             r2 = r2.astype(self.fact_dtype)
+        if self.mode == "dense":
+            _L, iL, dd = panels
+            y = iL @ r2
+            if dd is not None:          # floored-LDL form (f32)
+                y = y / dd
+            return (iL.T @ y).astype(out_dtype)
         if self.use_ldl:
             dy = SC.solve_batched_ldl(sym, panels, r2, inverse=self.inverse)
         elif self.mode == "batched":
@@ -294,7 +344,7 @@ class DeviceSparseNormalKKT:
         panels, D, scale, prob, del_c = factors
         ix = prob.idx if getattr(prob, "idx", None) is not None \
             else self.host_idx()
-        sym = ix["sym"]
+        sym = ix.get("sym")
         r1 = rx * D
         r2 = (prob.jac_mv(r1) - ry) * scale
         if self.krylov:
@@ -319,6 +369,11 @@ class DeviceSparseNormalKKT:
     def factor_ok(self, factors):
         panels, D, _scale, _prob, _dc = factors
         ok = jnp.all(D > 0)
+        if self.mode == "dense":
+            if panels[2] is not None:   # floored LDL: pivots clamped > 0
+                return ok & jnp.all(jnp.isfinite(panels[2]))
+            dP = jnp.diagonal(panels[0])
+            return ok & jnp.all(jnp.isfinite(dP)) & jnp.all(dP > 0)
         if self.use_ldl:
             return ok & SC.factor_ok_batched_ldl(panels,
                                                  self.expected_signs)
@@ -332,10 +387,16 @@ class DeviceSparseNormalKKT:
 
 
 def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
-                    mode: str = "batched", **options):
+                    mode: str = "auto", **options):
     """Solve a (large sparse) LP — or separable (diagonal-Hessian) QP —
     fully on device: sparse matvecs + on-device normal-equation assembly +
-    supernodal Cholesky.
+    supernodal (or, for small m, one dense MXU) Cholesky.
+
+    mode: "auto" routes m <= dense_normal_limit (options, default 4096)
+    to the dense-normal factorization — the supernodal scan's many small
+    bucket ops are latency-bound on TPU at that size — and larger
+    systems to the level/greedy supernodal path ("batched").  Pass
+    "batched" / "scan" / "dense" to force.
 
     Returns ExecutionStats like mq.solve.
     """
@@ -361,6 +422,9 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
                 "solve_sparse_lp handles LPs and diagonal-Hessian QPs only "
                 "(use solve_sparse_qp for general sparse QPs)."
             )
+    if mode == "auto":
+        mode = "dense" if std.A.shape[0] <= opts.dense_normal_limit \
+            else "batched"
     fp = pattern_fingerprint(std.A, std.H)
 
     def kernel_for(o):

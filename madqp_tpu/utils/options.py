@@ -256,6 +256,14 @@ class IPMOptions:
     # sqrt-ish tolerance, and the corresponding iterates have diverged past
     # this magnitude.
     diverge_tol: float = 1e8
+    # Sparse-device normal equations: route m <= this to ONE dense MXU
+    # factorization of the assembled S = A D A' (sparse assembly stays
+    # segment-sum) instead of the supernodal scan, whose many small
+    # bucket ops are latency-bound on TPU at small m (measured
+    # ~1.4 s/iter on staircase m=2000 supernodal vs ~0.1 s dense).  An
+    # (m, m) f32 dense S at 4096 is 67 MB — well inside HBM; raise only
+    # with the memory bill in mind.
+    dense_normal_limit: int = 4096
     # Numerics (TPU-specific): dtype of the on-device solver state, and an
     # optionally lower dtype for the KKT factorization.  float32
     # factorization + f64 iterative refinement (set max_refine_steps >= 1)

@@ -120,3 +120,42 @@ class TestSparseCertificates:
         )
         st = solve_sparse_lp(qp, max_iter=300, print_level=0)
         assert st.status == mq.Status.UNBOUNDED_PROBLEM_DETECTED
+
+
+def test_dense_normal_mode_matches_host():
+    """mode='dense' (small-m dense-normal factorization, the TPU
+    latency fix for m <= dense_normal_limit) must reproduce the host
+    trajectory iteration-for-iteration in f64."""
+    import madqp_tpu as mq
+    from madqp_tpu.models.suite import staircase_lp
+
+    qp = staircase_lp(20, 8, seed=0)
+    qp_p, _, ok = mq.presolve_qp(qp)
+    assert ok
+    qp_s, _ = mq.scale_qp(qp_p)
+    common = dict(tol=1e-8, max_iter=300, max_ncorr=3, print_level=0,
+                  step_rule=mq.AdaptiveStep(0.995),
+                  regularization=mq.FixedRegularization(1e-8, -1e-8))
+    h = mq.solve_host(qp_s, **common)
+    d = mq.solve_sparse_lp(qp_s, mode="dense", **common)
+    assert d.status == mq.Status.SOLVE_SUCCEEDED
+    assert d.iter == h.iter
+    assert d.objective == pytest.approx(h.objective, rel=1e-9)
+
+
+def test_dense_normal_mode_mixed_precision():
+    """f32 dense-normal rides the pivot-floored LDL (not plain Cholesky,
+    which goes negative on degenerate normal matrices near convergence)."""
+    import madqp_tpu as mq
+    from madqp_tpu.models.suite import assignment_lp
+
+    qp = assignment_lp(15, seed=0)
+    qp_p, _, ok = mq.presolve_qp(qp)
+    assert ok
+    qp_s, _ = mq.scale_qp(qp_p)
+    st = mq.solve_sparse_lp(qp_s, mode="dense",
+                            factorization_dtype="float32",
+                            max_refine_steps=1, endgame="host",
+                            tol=1e-8, print_level=0,
+                            regularization=mq.FixedRegularization(1e-8, -1e-8))
+    assert st.status == mq.Status.SOLVE_SUCCEEDED
