@@ -127,17 +127,31 @@ class HostK2KKT:
 
 
 class HostNormalKKT:
-    """Sparse normal equations A D A' - dc I (LP only), native LDL-factored
-    (reference NormalKKTSystem, normalkkt.jl:166-205)."""
+    """Sparse normal equations A W⁻¹ A' - dc I with W = Σ (+ diag(H)),
+    native LDL-factored (reference NormalKKTSystem, normalkkt.jl:166-205).
+
+    Extends the reference's LP-only system (normalkkt.jl:45-48) to
+    separable — diagonal-Hessian — QPs, matching the device path
+    (DeviceSparseNormalKKT): W stays diagonal, so the same SPD reduction
+    is exact.  Non-diagonal Hessians are still rejected."""
 
     name = "normal(host-ldl)"
 
     def __init__(self, prob: HostProblem):
+        self._h_diag = None
         if not prob.is_lp:
-            raise ValueError(
-                "NormalKKT supports only linear programs "
-                "(reference normalkkt.jl:45-48)."
-            )
+            H = prob._H
+            Hc = sp.coo_matrix(H) if H is not None else None
+            if Hc is not None and Hc.nnz and not (Hc.row == Hc.col).all():
+                raise ValueError(
+                    "NormalKKT supports only linear programs "
+                    "(reference normalkkt.jl:45-48) and diagonal-Hessian "
+                    "QPs (device-path extension)."
+                )
+            if Hc is not None and Hc.nnz:
+                hd = np.zeros(prob.n)
+                np.add.at(hd, Hc.row, Hc.data)
+                self._h_diag = hd
         self.prob = prob
         A = prob._A
         S0 = (A @ A.T + sp.eye(prob.m)).tocsc()
@@ -148,6 +162,8 @@ class HostNormalKKT:
 
     def factorize(self, pr_diag, del_c) -> bool:
         self._pr_diag = np.asarray(pr_diag)
+        if self._h_diag is not None:
+            self._pr_diag = self._pr_diag + self._h_diag
         A = self.prob._A
         D = 1.0 / self._pr_diag
         S = (A.multiply(D[None, :]) @ A.T - float(del_c) * sp.eye(self.prob.m))

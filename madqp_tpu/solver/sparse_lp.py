@@ -120,6 +120,27 @@ class DeviceSparseNormalKKT:
         self.coo_cols = Acoo.col.astype(np.int32)
         self.coo_vals = Acoo.data.copy()
 
+        # Assembly-route guard: the pair contribution lists below cost
+        # sum_k nnz(col_k)^2 host work AND memory — an A with dense
+        # columns (e.g. the svm family: 200 columns x 3000 rows) explodes
+        # them to ~1e9 entries (the round-3 svm TPU row silently never
+        # finished symbolic analysis because of exactly this).  In dense
+        # mode with pair blow-up, assemble S = A D A' per iteration as a
+        # dense on-device matmul instead (scatter a_vals into a dense
+        # (m, n), one MXU GEMM) and skip the symbolic machinery entirely.
+        col_nnz = np.diff(A.indptr)
+        npairs = int(np.sum(col_nnz.astype(np.int64) ** 2 + col_nnz) // 2)
+        self.assembly = "pairs"
+        self.mode = mode
+        if mode == "dense" and (npairs > int(2e7)
+                                and m * n <= int(2e8)):
+            self.assembly = "matmul"
+            self.symb = None
+            self.value_gather = None
+            self.use_ldl = False
+            self._device_idx = None
+            return
+
         # Pattern of S = A A' (+ explicit diagonal for the -del_c term).
         Abool = A.copy()
         Abool.data = np.ones_like(Abool.data)
@@ -232,6 +253,8 @@ class DeviceSparseNormalKKT:
     def host_idx(self) -> dict:
         """Index bundle in host (numpy) form — folded as constants when a
         problem carries no device bundle."""
+        if self.assembly == "matmul":
+            return dict()
         d = dict(
             pair_p=self.pair_p, pair_q=self.pair_q,
             pair_k=self.pair_k, pair_e=self.pair_e,
@@ -265,6 +288,8 @@ class DeviceSparseNormalKKT:
                 h_vals, prob.h_rows, num_segments=self.n
             )
         D = 1.0 / pr_diag
+        if self.assembly == "matmul":
+            return self._factorize_matmul(prob, D, del_c)
         contrib = (
             prob.a_vals[ix["pair_p"]]
             * D[ix["pair_k"]]
@@ -320,6 +345,32 @@ class DeviceSparseNormalKKT:
         else:
             panels = SC.factorize(sym, s_vals)
         return (panels, D, scale, prob, del_c)
+
+    def _factorize_matmul(self, prob, D, del_c):
+        """Dense-mode assembly without pair lists: scatter a_vals into a
+        dense (m, n) Jacobian and form S = (A * D) A' as ONE MXU GEMM.
+        Used when A has dense columns that explode the pair contribution
+        lists (svm: 9e8 pairs); the GEMM is ~2 m^2 n flops — milliseconds
+        on the MXU for every shape this mode admits (m*n <= 2e8)."""
+        dt = (self.fact_dtype
+              if self.fact_dtype is not None else prob.a_vals.dtype)
+        from ..ops.blocked_dense import (blocked_ldl, factor_inv_chol,
+                                        inv_unit_lower)
+
+        m, n = self.m, self.n
+        Ad = jnp.zeros((m, n), dt)
+        Ad = Ad.at[prob.a_rows, prob.a_cols].set(prob.a_vals.astype(dt))
+        Sd = (Ad * D.astype(dt)[None, :]) @ Ad.T
+        Sd = Sd - del_c * jnp.eye(m, dtype=dt)
+        s_diag = jnp.diagonal(Sd)
+        scale = jax.lax.rsqrt(jnp.maximum(s_diag, jnp.finfo(dt).tiny))
+        Sd = Sd * scale[:, None] * scale[None, :]
+        if self.fact_dtype == jnp.float32:
+            Lu, dd = blocked_ldl(Sd, sgn=jnp.ones((m,), dt), floor=1e-6)
+            iLu = inv_unit_lower(Lu)
+            return ((Lu, iLu, dd), D, scale.astype(D.dtype), prob, del_c)
+        Lc, iL = factor_inv_chol(Sd)
+        return ((Lc, iL, None), D, scale.astype(D.dtype), prob, del_c)
 
     def _apply_factor(self, sym, panels, r2):
         """One backsolve against the stored factorization (in its dtype)."""
