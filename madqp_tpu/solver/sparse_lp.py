@@ -534,7 +534,19 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     x0j = jnp.asarray(x0, dtype)
     y0j = jnp.asarray(y0, dtype)
     host_endgame = two_phase and opts.endgame == "host"
-    stepped = opts.loop_mode in ("auto", "python")
+    # Dense-normal mode runs as ONE jitted while_loop dispatch under
+    # loop_mode='auto': its per-iteration program is a single small dense
+    # factorization + matvecs, so the while-loop wrapper compile is cheap
+    # and the per-dispatch wall stays bounded by phase1_max_iter x
+    # ~0.5 s — far below the tunnel worker's multi-minute kill threshold
+    # — while the stepped loop pays a host round-trip per iteration
+    # (measured on the tunneled v5e: transport m=225 warm 23.7 s stepped
+    # with only 2 s of linear-solver time; staircase m=2000 17-21 s).
+    # The supernodal paths keep stepping (their while-loop wrapper costs
+    # 2-3x the iteration program compile and a single dispatch can run
+    # for minutes — the round-2 worker-crash regime).
+    stepped = (opts.loop_mode == "python"
+               or (opts.loop_mode == "auto" and mode != "dense"))
     with jax.default_matmul_precision("highest"):
         finish2 = None
         if two_phase and not host_endgame and not stepped:
@@ -557,8 +569,15 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
             # iterate: the last ~5 f64 iterations cost the same wall as
             # on-device emulated f64, but the f64 XLA program (the
             # dominant compile bill, ~164 s on banded-20k) never compiles.
+            # Dense-column patterns (matmul assembly) make S = A D A'
+            # dense: the host's sparse up-looking LDL pays the full
+            # O(m^3) inside a CSC data structure (~12 s/factorization on
+            # svm m=3000 — 61-70 s of endgame linear-solver time in the
+            # first round-4 artifact), so those hand over to the host K2
+            # augmented system instead, whose fill tracks nnz(A).
+            eg_kkt = "k2" if kkt.assembly == "matmul" else "normal"
             return _host_endgame(qp, opts, final, info, std, t0,
-                                 kkt_system="normal")
+                                 kkt_system=eg_kkt)
         if two_phase:
             # Endgame warm-started from the f32 phase's iterate: f32
             # factors of a cond>1e7 KKT stall short of 1e-8 under

@@ -159,3 +159,81 @@ def test_dense_normal_mode_mixed_precision():
                             tol=1e-8, print_level=0,
                             regularization=mq.FixedRegularization(1e-8, -1e-8))
     assert st.status == mq.Status.SOLVE_SUCCEEDED
+
+
+def test_dense_columns_endgame_rides_k2():
+    """Dense-column patterns (svm-like) force matmul assembly; the host
+    endgame must then hand over to the K2 augmented system — the host's
+    sparse LDL on the DENSE normal pattern pays O(m^3) inside CSC
+    (measured 61-70 s of endgame linear-solver time on svm m=3000 in the
+    first round-4 xlarge artifact)."""
+    import madqp_tpu as mq
+    from madqp_tpu.models.suite import svm_qp
+    from madqp_tpu.solver import sparse_lp as SL
+    from madqp_tpu.solver import sparse_qp as SQ
+
+    qp = svm_qp(300, 40, seed=0)
+    qp_p, _, ok = mq.presolve_qp(qp)
+    assert ok
+    qp_s, sc = mq.scale_qp(qp_p)
+
+    seen = {}
+    orig = SQ._host_endgame
+
+    def spy(qp_, opts, final, info, std, t0, kkt_system="k2"):
+        seen["kkt"] = kkt_system
+        return orig(qp_, opts, final, info, std, t0, kkt_system=kkt_system)
+
+    # svm_300x40 is below the 2e7 pair threshold, so force matmul
+    # assembly the same way the real svm_3000x200 triggers it.
+    orig_init = SL.DeviceSparseNormalKKT.__init__
+
+    def forced(self, A, **kw):
+        orig_init(self, A, **kw)
+        if kw.get("mode") == "dense":
+            self.assembly = "matmul"
+            self.symb = None
+            self.value_gather = None
+    SL.DeviceSparseNormalKKT.__init__ = forced
+    SQ._host_endgame = spy
+    try:
+        st = mq.solve_sparse_lp(
+            qp_s, mode="dense", factorization_dtype="float32",
+            max_refine_steps=1, endgame="host", tol=1e-8, print_level=0,
+            regularization=mq.FixedRegularization(1e-8, -1e-8))
+    finally:
+        SQ._host_endgame = orig
+        SL.DeviceSparseNormalKKT.__init__ = orig_init
+    assert st.status == mq.Status.SOLVE_SUCCEEDED
+    assert seen["kkt"] == "k2"
+
+
+def test_dense_mode_defaults_to_jit_loop():
+    """loop_mode='auto' runs dense-normal solves as ONE jitted
+    while_loop dispatch (the stepped loop pays a tunnel round trip per
+    iteration); the supernodal paths keep stepping."""
+    import madqp_tpu as mq
+    from madqp_tpu.models.suite import staircase_lp
+    from madqp_tpu.solver import sparse_common as SC
+
+    qp = staircase_lp(20, 8, seed=1)
+    qp_p, _, ok = mq.presolve_qp(qp)
+    assert ok
+    qp_s, _ = mq.scale_qp(qp_p)
+
+    called = {"stepped": 0}
+    orig = SC.stepped_solve
+
+    def spy(*a, **kw):
+        called["stepped"] += 1
+        return orig(*a, **kw)
+
+    import madqp_tpu.solver.sparse_lp as SL
+    SL.stepped_solve = spy
+    try:
+        st = mq.solve_sparse_lp(qp_s, mode="dense", tol=1e-8,
+                                print_level=0)
+    finally:
+        SL.stepped_solve = orig
+    assert st.status == mq.Status.SOLVE_SUCCEEDED
+    assert called["stepped"] == 0
