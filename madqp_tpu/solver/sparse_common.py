@@ -368,3 +368,66 @@ def two_phase_opts(opts):
         opts2 = dataclasses.replace(opts, factorization_dtype="",
                                     phase1_tol=0.0)
     return opts1, opts2
+
+
+def measure_sparse_ls(kkt, prob, final, lb, ub, reps=3):
+    """Measured cumulative factorize+backsolve seconds at the terminal
+    iterate, scaled by the recorded counts — the sparse-driver analog of
+    the dense driver's _measure_linear_solver (reference
+    linear_solver_time, scripts/benchmarks_cpu.jl:55).
+
+    Inside one jitted dispatch per-iteration timing is unobservable, so
+    this times ONE factorization and ONE backsolve at the final state
+    (value-perturbed per rep so the device tunnel cannot serve a memoized
+    reply) and multiplies by final.n_fact / final.n_solve.  For two-phase
+    solves call it once per phase with that phase's KKT and terminal
+    state and sum.  The jits are cached on the KKT object (pattern-keyed
+    kernels are shared across same-pattern instances, so repeats pay no
+    retrace)."""
+    import time
+
+    import jax
+
+    from ..ops import kernels as K
+
+    dev_idx = kkt.device_idx() if hasattr(kkt, "device_idx") else None
+    if dev_idx is not None and hasattr(prob, "_replace"):
+        prob = prob._replace(idx=dev_idx)
+
+    jits = getattr(kkt, "_measure_jits", None)
+    if jits is None:
+
+        def fact(p, x, zl, zu, lb, ub, dw, dc):
+            pr = K.sigma_diagonal(x, lb, ub, p.has_lb, p.has_ub, zl, zu, dw)
+            f = kkt.factorize(p, pr, dc)
+            return f, kkt.factor_ok(f)
+
+        jits = (jax.jit(fact), jax.jit(kkt.solve))
+        kkt._measure_jits = jits
+    fact_jit, solve_jit = jits
+
+    eps = 1e-9
+
+    def best_of(fn, make_args, probe):
+        best = float("inf")
+        out = None
+        for i in range(reps + 1):  # rep 0 is the compile/warm pass
+            t0 = time.time()
+            out = fn(*make_args(i))
+            jax.device_get(probe(out))
+            if i > 0:
+                best = min(best, time.time() - t0)
+        return best, out
+
+    t_fact, (factors, _ok) = best_of(
+        fact_jit,
+        lambda i: (prob, final.x * (1.0 + eps * i), final.zl, final.zu,
+                   lb, ub, final.del_w, final.del_c),
+        lambda out: out[1],
+    )
+    t_solve, _ = best_of(
+        solve_jit,
+        lambda i: (factors, final.x * (1.0 + eps * i), final.y),
+        lambda out: out[1][:1],
+    )
+    return t_fact * int(final.n_fact) + t_solve * int(final.n_solve)

@@ -412,16 +412,29 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
             jits["solve"](prob, x0j, y0j, lb, ub)
         )
         extra = 0
+        ls_time = None
+        if opts.measure_linear_solver:
+            from .sparse_common import measure_sparse_ls
+
+            ls_time = measure_sparse_ls(kkt, prob, final, lb, ub)
         if host_endgame:
             # Coordinates must match: hand the RELAXED problem (the same
             # one this std was built from) to the host solver.
-            return _host_endgame(qp_rel, opts, final, info, std, t0,
-                                 kkt_system="k2")
+            stats = _host_endgame(qp_rel, opts, final, info, std, t0,
+                                  kkt_system="k2")
+            if ls_time is not None:
+                stats.counters.linear_solver_time += ls_time
+            return stats
         if two_phase:
             extra = int(final.k)
             final = jax.block_until_ready(
                 finish2(prob, final.x, final.y, final.zl, final.zu, lb, ub)
             )
+            if ls_time is not None:
+                from .sparse_common import measure_sparse_ls
+
+                kkt2, _, _ = kernel_for(opts2)
+                ls_time += measure_sparse_ls(kkt2, prob, final, lb, ub)
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall, extra_iters=extra,
-                        std=std)
+                        std=std, ls_time=ls_time)

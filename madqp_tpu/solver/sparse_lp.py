@@ -564,6 +564,14 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
                 jits["solve"](prob, x0j, y0j, lb, ub)
             )
         extra = 0
+        # linear_solver_time (reference scripts/benchmarks_cpu.jl:55):
+        # opt-in post-solve measurement per phase (measure_sparse_ls) —
+        # inside a jitted dispatch per-iteration timing is unobservable.
+        ls_time = None
+        if opts.measure_linear_solver:
+            from .sparse_common import measure_sparse_ls
+
+            ls_time = measure_sparse_ls(kkt, prob, final, lb, ub)
         if host_endgame:
             # Endgame on the HOST C++ LDL path, warm-started from the f32
             # iterate: the last ~5 f64 iterations cost the same wall as
@@ -576,8 +584,13 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
             # first round-4 artifact), so those hand over to the host K2
             # augmented system instead, whose fill tracks nnz(A).
             eg_kkt = "k2" if kkt.assembly == "matmul" else "normal"
-            return _host_endgame(qp, opts, final, info, std, t0,
-                                 kkt_system=eg_kkt)
+            stats = _host_endgame(qp, opts, final, info, std, t0,
+                                  kkt_system=eg_kkt)
+            if ls_time is not None:
+                # total = measured device phase 1 + the host endgame's own
+                # accumulated factorize+solve time
+                stats.counters.linear_solver_time += ls_time
+            return stats
         if two_phase:
             # Endgame warm-started from the f32 phase's iterate: f32
             # factors of a cond>1e7 KKT stall short of 1e-8 under
@@ -594,6 +607,11 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
                     finish2(prob, final.x, final.y, final.zl, final.zu,
                             lb, ub)
                 )
+            if ls_time is not None:
+                from .sparse_common import measure_sparse_ls
+
+                kkt2, _, _ = kernel_for(opts2)
+                ls_time += measure_sparse_ls(kkt2, prob, final, lb, ub)
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall, extra_iters=extra,
-                        std=std)
+                        std=std, ls_time=ls_time)

@@ -260,13 +260,16 @@ class DeviceSparseAugmentedKKT:
 
 
 def finish_stats(qp: QuadraticProblem, info, opts, final, wall,
-                 extra_iters: int = 0, std=None):
+                 extra_iters: int = 0, std=None, ls_time=None):
     """Map the internal terminal IPM state back to user coordinates and
     package ExecutionStats (shared by the sparse device drivers).
     extra_iters: iterations spent in an earlier phase (two-phase mixed
     precision) to include in the reported count.  std: the internal
     standard form — when given, non-convergent exits are upgraded to
-    certified infeasible/unbounded statuses (same as the dense driver)."""
+    certified infeasible/unbounded statuses (same as the dense driver).
+    ls_time: measured cumulative factorize+backsolve seconds
+    (sparse_common.measure_sparse_ls, options.measure_linear_solver) —
+    None leaves the counter at its 'not measured' default."""
     from ..solver.certificates import certify_exit_status
     from ..solver.driver import _STATUS_MAP
     from ..utils import Counters, ExecutionStats, Status
@@ -295,7 +298,9 @@ def finish_stats(qp: QuadraticProblem, info, opts, final, wall,
         multipliers_L=zl_user,
         multipliers_U=zu_user,
         iter=int(final.k) + extra_iters,
-        counters=Counters(total_time=wall, k=int(final.k) + extra_iters),
+        counters=Counters(total_time=wall, k=int(final.k) + extra_iters,
+                          linear_solver_time=(ls_time if ls_time is not None
+                                              else 0.0)),
         primal_feas=float(final.inf_pr),
         dual_feas=float(final.inf_du),
         complementarity=float(final.inf_compl),
@@ -337,6 +342,13 @@ def _host_endgame(qp, opts, final, info, std, t0, kkt_system="k2"):
     )
     stats = host.solve()
     stats.counters.total_time = _time.time() - t0
+    if not opts.measure_linear_solver:
+        # The host accumulates factorize+solve time for ITS phase only;
+        # reporting that partial scope in the standard column would read
+        # as the whole solve's linear-solver share.  Without measurement
+        # of the device phase (measure_linear_solver), reset to the
+        # "not measured" default — the suite harness then records None.
+        stats.counters.linear_solver_time = 0.0
     return dataclasses.replace(stats, iter=stats.iter + extra)
 
 
@@ -503,9 +515,17 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
                 jits["solve"](prob, x0j, y0j, lb, ub)
             )
         extra = 0
+        ls_time = None
+        if opts.measure_linear_solver:
+            from .sparse_common import measure_sparse_ls
+
+            ls_time = measure_sparse_ls(kkt, prob, final, lb, ub)
         if host_endgame:
-            return _host_endgame(qp, opts, final, info, std, t0,
-                                 kkt_system="k2")
+            stats = _host_endgame(qp, opts, final, info, std, t0,
+                                  kkt_system="k2")
+            if ls_time is not None:
+                stats.counters.linear_solver_time += ls_time
+            return stats
         if two_phase:
             # f64 endgame warm-started from the f32 phase (see sparse_lp).
             extra = int(final.k)
@@ -518,6 +538,11 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
                     finish2(prob, final.x, final.y, final.zl, final.zu,
                             lb, ub)
                 )
+            if ls_time is not None:
+                from .sparse_common import measure_sparse_ls
+
+                kkt2, _, _ = kernel_for(opts2)
+                ls_time += measure_sparse_ls(kkt2, prob, final, lb, ub)
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall, extra_iters=extra,
-                        std=std)
+                        std=std, ls_time=ls_time)

@@ -234,3 +234,24 @@ def test_illscaled_iteration_parity_vs_host():
                                max_refine_steps=1, endgame="host", **common)
     assert mixed.status == mq.Status.SOLVE_SUCCEEDED
     assert mixed.iter <= 2 * host.iter
+
+
+def test_measure_linear_solver_sparse_paths():
+    """options.measure_linear_solver fills counters.linear_solver_time on
+    the sparse drivers (VERDICT r3 #7: the column must be measured or
+    absent, never a 0.0 placeholder); without it the two-phase host
+    endgame must NOT leak its partial (endgame-only) accumulation."""
+    import madqp_tpu as mq
+    from madqp_tpu.models.suite import staircase_lp
+
+    qp = staircase_lp(40, 8, seed=2)
+    qp_p, _, ok = mq.presolve_qp(qp)
+    assert ok
+    qp_s, _ = mq.scale_qp(qp_p)
+    common = dict(tol=1e-8, print_level=0, factorization_dtype="float32",
+                  max_refine_steps=1, endgame="host")
+    st = mq.solve_sparse_lp(qp_s, measure_linear_solver=True, **common)
+    assert st.status == mq.Status.SOLVE_SUCCEEDED
+    assert 0.0 < st.counters.linear_solver_time < st.counters.total_time
+    st0 = mq.solve_sparse_lp(qp_s, **common)
+    assert st0.counters.linear_solver_time == 0.0  # partial scope zeroed
