@@ -16,6 +16,22 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+# Keep a host CPU backend available alongside a single accelerator
+# platform (JAX_PLATFORMS=axon → "axon,cpu"; the accelerator stays the
+# default device).  The host sparse path and the two-phase host endgame
+# run their eager elementwise jax ops under jax.default_device(cpu) —
+# without a cpu backend those ops ride the accelerator, which through a
+# remote-tunnel runtime costs a ~40 ms round trip PER OP (measured: the
+# transport m=225 host endgame spent 1.5 s on ~5 iterations of eager
+# vector math).  Best-effort: too-late config updates (backends already
+# initialized) are ignored.
+_plat = _os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat.split(","):
+    try:
+        _jax.config.update("jax_platforms", _plat + ",cpu")
+    except Exception:  # pragma: no cover - backends already initialized
+        pass
+
 # Persistent compilation cache (opt-in via MADQP_COMPILE_CACHE=<dir>):
 # full MPC solves are large XLA programs whose first TPU compiles run
 # minutes, so bench/production runs should set this.  It is NOT enabled by

@@ -685,6 +685,26 @@ class MPCKernel:
             state,
         )
 
+    def run_k(self, p: ProblemArrays, state: IPMState, k) -> IPMState:
+        """At most k iterations (host-chunked loops): exits early on any
+        terminal status, so one dispatch's wall is bounded by k iteration
+        times — the tunnel-safe middle ground between per-iteration
+        stepping (a host round trip per iteration) and the unbounded
+        while_loop (a single dispatch that can run long enough to kill a
+        remote worker).  k is traced — one compile serves every chunk
+        length."""
+
+        def cond(c):
+            s, i = c
+            return jnp.logical_and(s.status == RUNNING, i < k)
+
+        def body(c):
+            s, i = c
+            return self.iteration(p, s), i + 1
+
+        out, _ = lax.while_loop(cond, body, (state, jnp.int32(0)))
+        return out
+
     def solve_from(self, p: ProblemArrays, x0, y0, lb0, ub0) -> IPMState:
         """init + run as a single traced computation."""
         return self.run(p, self.init_state(p, x0, y0, lb0, ub0))

@@ -237,6 +237,7 @@ def get_sparse_kernel(kind: str, fingerprint: str, opts, make_kkt):
     jits = {
         "solve": wrap(kernel.solve_from, "solve"),
         "iter": wrap(kernel.iteration, "iter"),
+        "run_k": wrap(kernel.run_k, "run_k"),
         "init": wrap(kernel.init_state, "init"),
         "warm_solve": wrap(kernel.solve_from_warm, "warm_solve"),
         "warm_init": wrap(kernel.init_state_warm, "warm_init"),
@@ -286,6 +287,43 @@ def stepped_solve(jits, prob, x0, y0, lb, ub, warm=None):
             state = jits["iter"](prob, state)
         steps += chunk
     return state
+
+
+def chunked_solve(jits, prob, x0, y0, lb, ub, warm=None, chunk=16):
+    """Host-chunked solve: dispatch bounded while_loop chunks of `chunk`
+    iterations (kernel.run_k) with one status readback between chunks.
+
+    Compared to stepped_solve (one round trip per iteration) this pays
+    ~1/chunk of the tunnel sync cost; compared to the full while_loop it
+    bounds every dispatch's wall — a single dispatch that runs for
+    minutes kills the tunneled TPU worker (round-2 post-mortem; the
+    first round-4 xlarge pass reproduced it when svm's m=3000 phase ran
+    as one unbounded jit dispatch and every later instance died with
+    JaxRuntimeError).  `iteration` is terminal-sticky, so trailing
+    no-op iterations inside a chunk cannot resurrect a finished state."""
+    import jax
+    import jax.numpy as jnp
+
+    if warm is not None:
+        zl0, zu0 = warm
+        state = jits["warm_init"](prob, x0, y0, zl0, zu0, lb, ub)
+    else:
+        state = jits["init"](prob, x0, y0, lb, ub)
+    k = jnp.int32(chunk)
+    while int(jax.device_get(state.status)) == 0:  # RUNNING
+        state = jits["run_k"](prob, state, k)
+    return state
+
+
+def dense_chunk_len(m, target_flops=2e11, lo=4, hi=64):
+    """Chunk length for chunked_solve on the dense-normal/dense-condensed
+    paths: bound one dispatch's factorization work (chunk * m^3/3 flops)
+    by `target_flops` — ~2-8 s of wall at the measured f32 panel rates —
+    clamped to [lo, hi]."""
+    import numpy as np
+
+    return int(np.clip(target_flops / max(1.0, float(m) ** 3 / 3.0),
+                       lo, hi))
 
 
 def start_phase2_overlap(kernel_for, opts2, dummy_args):
@@ -341,8 +379,14 @@ def resolve_endgame(opts):
         opts, endgame="host" if available() else "f64")
 
 
-def two_phase_opts(opts):
+def two_phase_opts(opts, typed_phase1=False):
     """Split options for the two-phase mixed-precision scheme.
+
+    typed_phase1: honor options.phase1_dtype for the phase-1 state (the
+    caller must then build the problem arrays per phase and cast the
+    warm-start on handoff — solver/sparse_{lp,qp,condensed}.py do; the
+    dense driver and the batched paths share one f64 problem pytree
+    across phases and keep the f64-state/f32-factorization scheme).
 
     Phase 1 (f32): solve to phase1_tol with stall detection on (an f32
     kernel at its precision floor burns iterations and degrades the warm
@@ -359,6 +403,11 @@ def two_phase_opts(opts):
         opts, tol=opts.phase1_tol,
         stall_exit=opts.stall_exit if opts.stall_exit > 0 else 5,
         max_iter=min(opts.max_iter, opts.phase1_max_iter),
+        # Fully-typed phase 1 (see options.phase1_dtype): f64 vector
+        # kernels are software-emulated on TPU and dominate the phase-1
+        # iteration wall; phase 1 only needs phase1_tol.
+        dtype=(opts.phase1_dtype or opts.dtype) if typed_phase1
+        else opts.dtype,
     )
     if opts.endgame == "krylov":
         # keep the f32 factorization plan; phase 2 solves in f64 via

@@ -360,43 +360,52 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
                  and opts.tol < opts.phase1_tol)
     if two_phase:
         from .sparse_common import two_phase_opts
+        # typed_phase1 stays OFF here: the condensed elimination's
+        # D = (Sigma_s^-1 - del_c)^-1 arithmetic breaks down with a
+        # fully-f32 state (ERROR_IN_STEP_COMPUTATION on random ineq QPs);
+        # the f64-state/f32-factorization scheme is kept instead.
         opts1, opts2 = two_phase_opts(opts)
     else:
         opts1, opts2 = opts, None
 
     kkt, kernel, jits = kernel_for(opts1)
-    dtype = jnp.dtype(opts.dtype)
     Acoo = sp.csc_matrix(std.A)
     Acoo.sum_duplicates()
     Acoo = Acoo.sorted_indices().tocoo()
-    if std.H is not None and std.H.nnz:
-        from .sparse_common import canonical_csc
 
-        Hcoo = canonical_csc(std.H).tocoo()
-        h_rows = jnp.asarray(Hcoo.row.astype(np.int32))
-        h_cols = jnp.asarray(Hcoo.col.astype(np.int32))
-        h_vals = jnp.asarray(canonical_coo_vals(std.H), dtype)
-    else:
-        h_rows = jnp.zeros((0,), jnp.int32)
-        h_cols = jnp.zeros((0,), jnp.int32)
-        h_vals = jnp.zeros((0,), dtype)
-    prob = SparseQPProblem(
-        c0=jnp.asarray(std.c0, dtype),
-        c=jnp.asarray(std.c, dtype),
-        b=jnp.asarray(std.b, dtype),
-        has_lb=jnp.asarray(std.has_lb),
-        has_ub=jnp.asarray(std.has_ub),
-        a_rows=jnp.asarray(Acoo.row.astype(np.int32)),
-        a_cols=jnp.asarray(Acoo.col.astype(np.int32)),
-        a_vals=jnp.asarray(canonical_coo_vals(std.A), dtype),
-        h_rows=h_rows,
-        h_cols=h_cols,
-        h_vals=h_vals,
-    )
-    lb = jnp.asarray(std.lb, dtype)
-    ub = jnp.asarray(std.ub, dtype)
-    x0j = jnp.asarray(x0, dtype)
-    y0j = jnp.asarray(y0, dtype)
+    def make_arrays(dt):
+        """Problem pytree + bounds + starting point at dtype dt (phase 1
+        may run fully in f32 — options.phase1_dtype; the endgame needs
+        the f64 twin)."""
+        dt = jnp.dtype(dt)
+        if std.H is not None and std.H.nnz:
+            from .sparse_common import canonical_csc
+
+            Hcoo = canonical_csc(std.H).tocoo()
+            h_rows = jnp.asarray(Hcoo.row.astype(np.int32))
+            h_cols = jnp.asarray(Hcoo.col.astype(np.int32))
+            h_vals = jnp.asarray(canonical_coo_vals(std.H), dt)
+        else:
+            h_rows = jnp.zeros((0,), jnp.int32)
+            h_cols = jnp.zeros((0,), jnp.int32)
+            h_vals = jnp.zeros((0,), dt)
+        p = SparseQPProblem(
+            c0=jnp.asarray(std.c0, dt),
+            c=jnp.asarray(std.c, dt),
+            b=jnp.asarray(std.b, dt),
+            has_lb=jnp.asarray(std.has_lb),
+            has_ub=jnp.asarray(std.has_ub),
+            a_rows=jnp.asarray(Acoo.row.astype(np.int32)),
+            a_cols=jnp.asarray(Acoo.col.astype(np.int32)),
+            a_vals=jnp.asarray(canonical_coo_vals(std.A), dt),
+            h_rows=h_rows,
+            h_cols=h_cols,
+            h_vals=h_vals,
+        )
+        return (p, jnp.asarray(std.lb, dt), jnp.asarray(std.ub, dt),
+                jnp.asarray(x0, dt), jnp.asarray(y0, dt))
+
+    prob, lb, ub, x0j, y0j = make_arrays(opts1.dtype)
     t0 = time.time()
     host_endgame = two_phase and opts.endgame == "host"
     with jax.default_matmul_precision("highest"):
@@ -405,9 +414,11 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
             # Overlap the endgame compile with phase 1 (see sparse_lp).
             from .sparse_common import start_phase2_overlap
 
-            ones_n = jnp.ones_like(x0j)
+            prob2, lb2, ub2, x02, y02 = make_arrays(opts2.dtype)
+            ones_n = jnp.ones_like(x02)
             finish2 = start_phase2_overlap(
-                kernel_for, opts2, (prob, x0j, y0j, ones_n, ones_n, lb, ub))
+                kernel_for, opts2,
+                (prob2, x02, y02, ones_n, ones_n, lb2, ub2))
         final = jax.block_until_ready(
             jits["solve"](prob, x0j, y0j, lb, ub)
         )
@@ -427,14 +438,17 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
             return stats
         if two_phase:
             extra = int(final.k)
+            dt2 = jnp.dtype(opts2.dtype)
             final = jax.block_until_ready(
-                finish2(prob, final.x, final.y, final.zl, final.zu, lb, ub)
+                finish2(prob2, final.x.astype(dt2), final.y.astype(dt2),
+                        final.zl.astype(dt2), final.zu.astype(dt2),
+                        lb2, ub2)
             )
             if ls_time is not None:
                 from .sparse_common import measure_sparse_ls
 
                 kkt2, _, _ = kernel_for(opts2)
-                ls_time += measure_sparse_ls(kkt2, prob, final, lb, ub)
+                ls_time += measure_sparse_ls(kkt2, prob2, final, lb2, ub2)
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall, extra_iters=extra,
                         std=std, ls_time=ls_time)

@@ -498,55 +498,68 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
                  and opts.tol < opts.phase1_tol)
     if two_phase:
         from .sparse_common import two_phase_opts
-        opts1, opts2 = two_phase_opts(opts)
+        opts1, opts2 = two_phase_opts(opts, typed_phase1=True)
     else:
         opts1, opts2 = opts, None
 
     kkt, kernel, jits = kernel_for(opts1)
-    dtype = jnp.dtype(opts.dtype)
-    base = dict(
-        c0=jnp.asarray(std.c0, dtype),
-        c=jnp.asarray(std.c, dtype),
-        b=jnp.asarray(std.b, dtype),
-        has_lb=jnp.asarray(std.has_lb),
-        has_ub=jnp.asarray(std.has_ub),
-        a_rows=jnp.asarray(kkt.coo_rows),
-        a_cols=jnp.asarray(kkt.coo_cols),
-        a_vals=jnp.asarray(canonical_coo_vals(std.A), dtype),
-    )
-    if std.H is not None and std.H.nnz:
-        from .sparse_common import canonical_csc
 
-        Hcoo = canonical_csc(std.H).tocoo()
-        prob = SparseQPProblem(
-            **base,
-            h_rows=jnp.asarray(Hcoo.row.astype(np.int32)),
-            h_cols=jnp.asarray(Hcoo.col.astype(np.int32)),
-            h_vals=jnp.asarray(canonical_coo_vals(std.H), dtype),
+    def make_arrays(dt):
+        """Problem pytree + bounds + starting point at dtype dt (phase 1
+        may run fully in f32 — options.phase1_dtype — while the endgame
+        needs the f64 twin)."""
+        dt = jnp.dtype(dt)
+        base = dict(
+            c0=jnp.asarray(std.c0, dt),
+            c=jnp.asarray(std.c, dt),
+            b=jnp.asarray(std.b, dt),
+            has_lb=jnp.asarray(std.has_lb),
+            has_ub=jnp.asarray(std.has_ub),
+            a_rows=jnp.asarray(kkt.coo_rows),
+            a_cols=jnp.asarray(kkt.coo_cols),
+            a_vals=jnp.asarray(canonical_coo_vals(std.A), dt),
         )
-    else:
-        prob = SparseLPProblem(**base)
-    lb = jnp.asarray(std.lb, dtype)
-    ub = jnp.asarray(std.ub, dtype)
+        if std.H is not None and std.H.nnz:
+            from .sparse_common import canonical_csc
+
+            Hcoo = canonical_csc(std.H).tocoo()
+            p = SparseQPProblem(
+                **base,
+                h_rows=jnp.asarray(Hcoo.row.astype(np.int32)),
+                h_cols=jnp.asarray(Hcoo.col.astype(np.int32)),
+                h_vals=jnp.asarray(canonical_coo_vals(std.H), dt),
+            )
+        else:
+            p = SparseLPProblem(**base)
+        return (p, jnp.asarray(std.lb, dt), jnp.asarray(std.ub, dt),
+                jnp.asarray(x0, dt), jnp.asarray(y0, dt))
+
+    prob, lb, ub, x0j, y0j = make_arrays(opts1.dtype)
     t0 = time.time()
     # TPU f32 matmuls default to bf16-pass precision — fatal for an f32
     # factorization.  Force full-f32 accumulation while tracing the solve.
-    x0j = jnp.asarray(x0, dtype)
-    y0j = jnp.asarray(y0, dtype)
     host_endgame = two_phase and opts.endgame == "host"
-    # Dense-normal mode runs as ONE jitted while_loop dispatch under
-    # loop_mode='auto': its per-iteration program is a single small dense
-    # factorization + matvecs, so the while-loop wrapper compile is cheap
-    # and the per-dispatch wall stays bounded by phase1_max_iter x
-    # ~0.5 s — far below the tunnel worker's multi-minute kill threshold
-    # — while the stepped loop pays a host round-trip per iteration
-    # (measured on the tunneled v5e: transport m=225 warm 23.7 s stepped
-    # with only 2 s of linear-solver time; staircase m=2000 17-21 s).
-    # The supernodal paths keep stepping (their while-loop wrapper costs
-    # 2-3x the iteration program compile and a single dispatch can run
-    # for minutes — the round-2 worker-crash regime).
-    stepped = (opts.loop_mode == "python"
-               or (opts.loop_mode == "auto" and mode != "dense"))
+    # Loop style under loop_mode='auto': dense-normal mode dispatches
+    # bounded chunks of iterations (chunked_solve — ~1/chunk of the
+    # stepped loop's per-iteration tunnel round trips, but every dispatch
+    # wall bounded: one unbounded m=3000 svm dispatch killed the tunnel
+    # worker in the first round-4 xlarge pass); the supernodal paths keep
+    # per-iteration stepping (their while-loop wrapper costs 2-3x the
+    # iteration program compile and chunk boundaries align with their
+    # scan-schedule dispatch chain anyway).
+    if opts.loop_mode == "python":
+        style = "stepped"
+    elif opts.loop_mode == "jit":
+        style = "jit"
+    else:
+        style = "chunked" if mode == "dense" else "stepped"
+    stepped = style in ("stepped", "chunked")
+    if style == "chunked":
+        from .sparse_common import chunked_solve, dense_chunk_len
+
+        chunk1 = dense_chunk_len(std.A.shape[0])
+        # emulated-f64 endgame iterations are ~10-20x slower
+        chunk2 = dense_chunk_len(std.A.shape[0], target_flops=2e10)
     with jax.default_matmul_precision("highest"):
         finish2 = None
         if two_phase and not host_endgame and not stepped:
@@ -554,10 +567,14 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
             # traces/compiles/runs (sparse_common.start_phase2_overlap).
             from .sparse_common import start_phase2_overlap
 
-            ones_n = jnp.ones_like(x0j)
+            prob2, lb2, ub2, x02, y02 = make_arrays(opts2.dtype)
+            ones_n = jnp.ones_like(x02)
             finish2 = start_phase2_overlap(
-                kernel_for, opts2, (prob, x0j, y0j, ones_n, ones_n, lb, ub))
-        if stepped:
+                kernel_for, opts2,
+                (prob2, x02, y02, ones_n, ones_n, lb2, ub2))
+        if style == "chunked":
+            final = chunked_solve(jits, prob, x0j, y0j, lb, ub, chunk=chunk1)
+        elif style == "stepped":
             final = stepped_solve(jits, prob, x0j, y0j, lb, ub)
         else:
             final = jax.block_until_ready(
@@ -598,20 +615,27 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
             # refactorization or f64 PCG preconditioned by the f32 factor
             # (options.endgame="krylov").
             extra = int(final.k)
+            dt2 = jnp.dtype(opts2.dtype)
+            wx, wy = final.x.astype(dt2), final.y.astype(dt2)
+            wzl, wzu = final.zl.astype(dt2), final.zu.astype(dt2)
             if stepped:
+                prob2, lb2, ub2, _, _ = make_arrays(opts2.dtype)
                 _, _, jits2 = kernel_for(opts2)
-                final = stepped_solve(jits2, prob, final.x, final.y, lb, ub,
-                                      warm=(final.zl, final.zu))
+                if style == "chunked":
+                    final = chunked_solve(jits2, prob2, wx, wy, lb2, ub2,
+                                          warm=(wzl, wzu), chunk=chunk2)
+                else:
+                    final = stepped_solve(jits2, prob2, wx, wy, lb2, ub2,
+                                          warm=(wzl, wzu))
             else:
                 final = jax.block_until_ready(
-                    finish2(prob, final.x, final.y, final.zl, final.zu,
-                            lb, ub)
+                    finish2(prob2, wx, wy, wzl, wzu, lb2, ub2)
                 )
             if ls_time is not None:
                 from .sparse_common import measure_sparse_ls
 
                 kkt2, _, _ = kernel_for(opts2)
-                ls_time += measure_sparse_ls(kkt2, prob, final, lb, ub)
+                ls_time += measure_sparse_ls(kkt2, prob2, final, lb2, ub2)
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall, extra_iters=extra,
                         std=std, ls_time=ls_time)

@@ -270,6 +270,18 @@ class IPMOptions:
     # is the fast TPU configuration; f64 matmuls are software-emulated.
     dtype: str = "float64"
     factorization_dtype: str = ""  # "" = same as dtype
+    # Dtype of the WHOLE phase-1 state on the two-phase sparse drivers
+    # ("" = same as dtype).  The default two-phase scheme keeps f64
+    # vectors with an f32 factorization, but f64 is software-emulated on
+    # TPU: measured on the tunneled v5e, a transport (m=225, n=12.5k)
+    # phase-1 iteration costs 0.17-0.19 s of which the factorization is
+    # ~1 ms — the emulated-f64 vector kernels/SpMVs over the full-length
+    # state dominate.  phase1_dtype='float32' runs phase 1 entirely in
+    # f32 (vectors, matvecs, reductions); the f64 endgame re-measures
+    # everything at full precision from the cast-up warm start, so the
+    # final tolerance is unaffected.  Phase 1 only needs phase1_tol
+    # (1e-3) — far above the f32 precision floor.
+    phase1_dtype: str = "float32"
     # Execution mode: "jit" runs the whole solve in one lax.while_loop;
     # "python" steps the jitted iteration from the host (debuggable, prints
     # eagerly); "auto" = host-stepped on the pattern-specific sparse device

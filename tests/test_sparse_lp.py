@@ -209,9 +209,10 @@ def test_dense_columns_endgame_rides_k2():
 
 
 def test_dense_mode_defaults_to_jit_loop():
-    """loop_mode='auto' runs dense-normal solves as ONE jitted
-    while_loop dispatch (the stepped loop pays a tunnel round trip per
-    iteration); the supernodal paths keep stepping."""
+    """loop_mode='auto' runs dense-normal solves as bounded-chunk
+    while_loop dispatches (chunked_solve) — never the per-iteration
+    stepped loop, which pays a tunnel round trip per iteration; the
+    supernodal paths keep stepping."""
     import madqp_tpu as mq
     from madqp_tpu.models.suite import staircase_lp
     from madqp_tpu.solver import sparse_common as SC
