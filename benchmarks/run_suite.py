@@ -163,11 +163,19 @@ def generated_suite(kind: str, sizes, families=()):
 def main():
     # Honor JAX_PLATFORMS even though jax is pre-imported at interpreter
     # startup in this environment (env alone is too late; the config
-    # update must land before the first computation).
+    # update must land before the first computation).  Keep a host cpu
+    # backend available alongside a single accelerator platform, matching
+    # madqp_tpu's import-time behavior — resetting to the raw env value
+    # ("axon") silently dropped the cpu backend and sent the host
+    # endgame's eager vector math through the tunnel at a round trip per
+    # op (transport warm 24 s in the harness vs 1.6 s standalone).
     if os.environ.get("JAX_PLATFORMS"):
         import jax
 
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        _plat = os.environ["JAX_PLATFORMS"]
+        if "cpu" not in _plat.split(","):
+            _plat += ",cpu"
+        jax.config.update("jax_platforms", _plat)
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", help="directory of .mps/.qps/.sif[.gz|.bz2] files")
     ap.add_argument("--suite", default="random_qp",

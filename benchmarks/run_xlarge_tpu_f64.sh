@@ -12,7 +12,7 @@
 set -e
 cd "$(dirname "$0")/.."
 OUT=benchmarks/results/suite_xlarge_tpu_f64.json
-COMMON="--suite structured:xlarge --repeat 2 --resume --out $OUT"
+COMMON="--suite structured:xlarge --repeat 2 --resume --measure-ls --out $OUT"
 
 python benchmarks/run_suite.py $COMMON \
   --backend device \
