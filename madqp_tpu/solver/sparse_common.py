@@ -455,7 +455,10 @@ def measure_sparse_ls(kkt, prob, final, lb, ub, reps=3):
         kkt._measure_jits = jits
     fact_jit, solve_jit = jits
 
-    eps = 1e-9
+    # Anti-memoization perturbation must survive the state's dtype: 1+1e-9
+    # rounds to exactly 1.0 in float32, which would send bit-identical
+    # arguments every rep (advisor round-4).
+    eps = 10.0 * float(np.finfo(np.dtype(final.x.dtype)).eps)
 
     def best_of(fn, make_args, probe):
         best = float("inf")

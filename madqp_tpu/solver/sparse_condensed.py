@@ -436,7 +436,11 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
             if ls_time is not None:
                 stats.counters.linear_solver_time += ls_time
             return stats
+        eg_time = 0.0
+        eg_backend = ""
         if two_phase:
+            eg_t0 = time.time()
+            eg_backend = "device-f64"
             extra = int(final.k)
             dt2 = jnp.dtype(opts2.dtype)
             final = jax.block_until_ready(
@@ -444,6 +448,7 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
                         final.zl.astype(dt2), final.zu.astype(dt2),
                         lb2, ub2)
             )
+            eg_time = time.time() - eg_t0
             if ls_time is not None:
                 from .sparse_common import measure_sparse_ls
 
@@ -451,4 +456,5 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
                 ls_time += measure_sparse_ls(kkt2, prob2, final, lb2, ub2)
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall, extra_iters=extra,
-                        std=std, ls_time=ls_time)
+                        std=std, ls_time=ls_time,
+                        endgame_time=eg_time, endgame_backend=eg_backend)

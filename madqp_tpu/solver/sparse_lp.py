@@ -608,12 +608,16 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
                 # accumulated factorize+solve time
                 stats.counters.linear_solver_time += ls_time
             return stats
+        eg_time = 0.0
+        eg_backend = ""
         if two_phase:
             # Endgame warm-started from the f32 phase's iterate: f32
             # factors of a cond>1e7 KKT stall short of 1e-8 under
             # stationary refinement, so the endgame runs either the f64
             # refactorization or f64 PCG preconditioned by the f32 factor
             # (options.endgame="krylov").
+            eg_t0 = time.time()
+            eg_backend = "device-" + (opts.endgame or "f64")
             extra = int(final.k)
             dt2 = jnp.dtype(opts2.dtype)
             wx, wy = final.x.astype(dt2), final.y.astype(dt2)
@@ -631,6 +635,7 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
                 final = jax.block_until_ready(
                     finish2(prob2, wx, wy, wzl, wzu, lb2, ub2)
                 )
+            eg_time = time.time() - eg_t0
             if ls_time is not None:
                 from .sparse_common import measure_sparse_ls
 
@@ -638,4 +643,5 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
                 ls_time += measure_sparse_ls(kkt2, prob2, final, lb2, ub2)
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall, extra_iters=extra,
-                        std=std, ls_time=ls_time)
+                        std=std, ls_time=ls_time,
+                        endgame_time=eg_time, endgame_backend=eg_backend)

@@ -260,7 +260,8 @@ class DeviceSparseAugmentedKKT:
 
 
 def finish_stats(qp: QuadraticProblem, info, opts, final, wall,
-                 extra_iters: int = 0, std=None, ls_time=None):
+                 extra_iters: int = 0, std=None, ls_time=None,
+                 endgame_time: float = 0.0, endgame_backend: str = ""):
     """Map the internal terminal IPM state back to user coordinates and
     package ExecutionStats (shared by the sparse device drivers).
     extra_iters: iterations spent in an earlier phase (two-phase mixed
@@ -300,7 +301,9 @@ def finish_stats(qp: QuadraticProblem, info, opts, final, wall,
         iter=int(final.k) + extra_iters,
         counters=Counters(total_time=wall, k=int(final.k) + extra_iters,
                           linear_solver_time=(ls_time if ls_time is not None
-                                              else 0.0)),
+                                              else 0.0),
+                          endgame_time=endgame_time,
+                          endgame_backend=endgame_backend),
         primal_feas=float(final.inf_pr),
         dual_feas=float(final.inf_du),
         complementarity=float(final.inf_compl),
@@ -340,7 +343,10 @@ def _host_endgame(qp, opts, final, info, std, t0, kkt_system="k2"):
         np.asarray(final.zl, np.float64)[:n],
         np.asarray(final.zu, np.float64)[:n],
     )
+    eg_t0 = _time.time()
     stats = host.solve()
+    stats.counters.endgame_time = _time.time() - eg_t0
+    stats.counters.endgame_backend = "host"
     stats.counters.total_time = _time.time() - t0
     if not opts.measure_linear_solver:
         # The host accumulates factorize+solve time for ITS phase only;
@@ -533,8 +539,12 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
             if ls_time is not None:
                 stats.counters.linear_solver_time += ls_time
             return stats
+        eg_time = 0.0
+        eg_backend = ""
         if two_phase:
             # f64 endgame warm-started from the f32 phase (see sparse_lp).
+            eg_t0 = time.time()
+            eg_backend = "device-f64"
             extra = int(final.k)
             dt2 = jnp.dtype(opts2.dtype)
             wx, wy = final.x.astype(dt2), final.y.astype(dt2)
@@ -548,6 +558,7 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
                 final = jax.block_until_ready(
                     finish2(prob2, wx, wy, wzl, wzu, lb2, ub2)
                 )
+            eg_time = time.time() - eg_t0
             if ls_time is not None:
                 from .sparse_common import measure_sparse_ls
 
@@ -555,4 +566,5 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
                 ls_time += measure_sparse_ls(kkt2, prob2, final, lb2, ub2)
     wall = time.time() - t0
     return finish_stats(qp, info, opts, final, wall, extra_iters=extra,
-                        std=std, ls_time=ls_time)
+                        std=std, ls_time=ls_time,
+                        endgame_time=eg_time, endgame_backend=eg_backend)

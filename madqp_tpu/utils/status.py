@@ -81,6 +81,11 @@ class Counters:
     init_time: float = 0.0
     total_time: float = 0.0
     linear_solver_time: float = 0.0
+    # Wall seconds spent in a two-phase solve's endgame (phase 2).  For
+    # endgame="host" this is HOST-CPU time inside a nominally-TPU solve —
+    # recorded so suite ratios can state the hybrid share honestly.
+    endgame_time: float = 0.0
+    endgame_backend: str = ""
     eval_function_time: float = 0.0
     compile_time: float = 0.0
     k: int = 0  # iteration count

@@ -222,19 +222,29 @@ def test_dense_mode_defaults_to_jit_loop():
     assert ok
     qp_s, _ = mq.scale_qp(qp_p)
 
-    called = {"stepped": 0}
-    orig = SC.stepped_solve
+    # Patch the functions on sparse_common itself: solve_sparse_lp binds
+    # them via function-level `from .sparse_common import ...` at call
+    # time, so a spy installed on the sparse_lp module namespace never
+    # fires (advisor round-4: the old form was vacuous).
+    called = {"stepped": 0, "chunked": 0}
+    orig_stepped, orig_chunked = SC.stepped_solve, SC.chunked_solve
 
-    def spy(*a, **kw):
+    def spy_stepped(*a, **kw):
         called["stepped"] += 1
-        return orig(*a, **kw)
+        return orig_stepped(*a, **kw)
 
-    import madqp_tpu.solver.sparse_lp as SL
-    SL.stepped_solve = spy
+    def spy_chunked(*a, **kw):
+        called["chunked"] += 1
+        return orig_chunked(*a, **kw)
+
+    SC.stepped_solve = spy_stepped
+    SC.chunked_solve = spy_chunked
     try:
         st = mq.solve_sparse_lp(qp_s, mode="dense", tol=1e-8,
                                 print_level=0)
     finally:
-        SL.stepped_solve = orig
+        SC.stepped_solve = orig_stepped
+        SC.chunked_solve = orig_chunked
     assert st.status == mq.Status.SOLVE_SUCCEEDED
     assert called["stepped"] == 0
+    assert called["chunked"] == 1
