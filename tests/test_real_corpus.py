@@ -23,13 +23,20 @@ PUBLISHED = {
     "HS35": 1.0 / 9.0,         # HS35 (Beale)
     "HS76": -4.68181818181818,  # HS76
     "HS51": 0.0,               # HS51 (free variables, equality-constrained)
+    "HS52": 1859.0 / 349.0,    # HS52 (free variables; round 5)
+    "HS53": 176.0 / 43.0,      # HS53 (boxed twin of HS52; round 5)
+    "HS118": 664.82045,        # HS118 (15 vars, 17 RANGES/G rows; round 5)
 }
 
 
 @pytest.mark.parametrize("name", sorted(PUBLISHED))
 def test_real_qps_solves_to_published_optimum(name):
     qp = mq.read_mps(os.path.join(DATA, f"{name}.qps"))
-    st = mq.solve_host(qp, tol=1e-9, print_level=0)
+    # bound_relax_factor=0: the default 1e-8 relaxation scales with the
+    # bound magnitudes (HS118's ~100-sized bounds relax by ~1e-6) and
+    # legitimately lowers the objective below the published optimum.
+    st = mq.solve_host(qp, tol=1e-9, print_level=0,
+                       bound_relax_factor=0.0)
     assert st.status == mq.Status.SOLVE_SUCCEEDED, name
     opt = PUBLISHED[name]
     assert st.objective == pytest.approx(opt, abs=1e-6)
@@ -70,4 +77,8 @@ def test_dir_harness_ingests_corpus(tmp_path):
     assert set(PUBLISHED) <= set(recs)
     for nm, opt in PUBLISHED.items():
         assert recs[nm]["status"] == 1, nm
-        assert abs(recs[nm]["objective"] - opt) <= 1e-6
+        # Production defaults keep bound_relax_factor=1e-8, which relaxes
+        # magnitude-100 bounds by ~1e-6 and can lower the objective by
+        # ~1e-5 (HS118) — hence the relative term.
+        assert abs(recs[nm]["objective"] - opt) <= max(
+            1e-6, 1e-7 * abs(opt))
