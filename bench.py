@@ -194,8 +194,12 @@ def _roofline(jax, n=2048):
                                           roofline_report)
 
     rng = np.random.default_rng(0)
-    P = rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n)
-    F = jnp.asarray(P @ P.T + 2.0 * np.eye(n, dtype=np.float32))
+    # Pin f32: under x64, `f32 / np.sqrt(n)` (np.float64 scalar) promotes
+    # to f64 and this roofline silently measured EMULATED-F64 cholesky in
+    # rounds 1-4 (round-5 discovery; real f32 n=8192 cholesky is ~13 ms).
+    P = (rng.standard_normal((n, n)) / np.sqrt(n)).astype(np.float32)
+    F = jnp.asarray(P @ P.T + 2.0 * np.eye(n, dtype=np.float32),
+                    jnp.float32)
     with jax.default_matmul_precision("highest"):
         f = jax.jit(jnp.linalg.cholesky)
         jax.device_get(f(F).ravel()[:1])  # compile

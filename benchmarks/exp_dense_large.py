@@ -67,9 +67,15 @@ def main():
     with jax.default_matmul_precision("highest"):
         for n in [int(s) for s in args.sizes.split(",") if s]:
             rng = np.random.default_rng(0)
-            P = rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n)
+            # Pin f32 END-TO-END: under x64 (madqp import), dividing an
+            # f32 array by the np.float64 SCALAR np.sqrt(n) promotes to
+            # f64 and jnp.asarray keeps it — the round-3/4 committed
+            # sweep measured EMULATED-F64 factorizations this way and
+            # reported them as f32 MFU (round-5 discovery).
+            P = (rng.standard_normal((n, n)) / np.sqrt(n)).astype(np.float32)
             F0 = P @ P.T + 2.0 * np.eye(n, dtype=np.float32)
-            F = jnp.asarray(F0)
+            F = jnp.asarray(F0, jnp.float32)
+            assert F.dtype == jnp.float32
 
             f_ldl = jax.jit(lambda M: blocked_ldl(M)[0])
             t0 = time.time()

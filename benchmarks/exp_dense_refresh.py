@@ -33,10 +33,18 @@ F32_PEAK = 32.7e12
 K = 4
 
 
-def spd(n, seed=0):
+def spd(n, seed=0, dtype=jnp.float32):
     rng = np.random.default_rng(seed)
-    A = rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n)
-    return jnp.asarray(A @ A.T + np.eye(n, dtype=np.float32) * 2.0)
+    # NB: keep the dtype pinned END-TO-END.  Under jax_enable_x64 (which
+    # importing madqp_tpu turns on), `f32_array / np.sqrt(n)` silently
+    # promotes to float64 (NumPy-2 scalar promotion) and jnp.asarray no
+    # longer truncates — the round-3 dense_large.json sweep measured
+    # EMULATED-F64 factorizations this way and reported them as f32 MFU.
+    A = (rng.standard_normal((n, n)) / np.sqrt(n)).astype(np.float32)
+    M = A @ A.T + np.eye(n, dtype=np.float32) * 2.0
+    out = jnp.asarray(M, dtype)
+    assert out.dtype == dtype
+    return out
 
 
 def make_chain(op):

@@ -44,8 +44,11 @@ def main():
     print(f"device: {jax.devices()[0]}  panel={w} npad={npad} reps={reps}")
 
     rng = np.random.default_rng(0)
-    P = rng.standard_normal((w, w)).astype(np.float32) / np.sqrt(w)
-    F = jnp.asarray(P @ P.T + 2.0 * np.eye(w, dtype=np.float32))
+    # pinned f32 (f32/np.sqrt promotes to f64 under x64 — see
+    # exp_dense_refresh.py)
+    P = (rng.standard_normal((w, w)) / np.sqrt(w)).astype(np.float32)
+    F = jnp.asarray(P @ P.T + 2.0 * np.eye(w, dtype=np.float32),
+                    jnp.float32)
     L1 = jnp.asarray(np.tril(rng.standard_normal((w, w)).astype(np.float32), -1)
                      + np.eye(w, dtype=np.float32))
     W = jnp.asarray(rng.standard_normal((npad, npad)).astype(np.float32))

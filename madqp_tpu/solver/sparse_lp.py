@@ -308,25 +308,28 @@ class DeviceSparseNormalKKT:
         if self.mode == "dense":
             if self.fact_dtype is not None and s_vals.dtype != self.fact_dtype:
                 s_vals = s_vals.astype(self.fact_dtype)
-            from ..ops.blocked_dense import (blocked_ldl, factor_inv_chol,
-                                            inv_unit_lower)
+            from ..ops.blocked_dense import factor_inv_chol
 
             m = self.m
             Su = jnp.zeros((m, m), s_vals.dtype)
             Su = Su.at[ix["entry_row"], ix["entry_col"]].set(s_vals)
             Sd = Su + Su.T - jnp.diag(jnp.diagonal(Su))
             if self.fact_dtype == jnp.float32:
-                # f32 needs the same cuDSS-style pivot flooring the
-                # supernodal f32 path uses: plain Cholesky of the
-                # (cond~1e8 near convergence) normal matrix goes negative
-                # in the trailing pivots on degenerate LPs and the retry
-                # escalation can't save it (measured: transport xlarge
-                # burned 80 capped f32 iterations).  Backsolve = two
-                # unit-lower matvecs + a diagonal scale.
-                sg = jnp.ones((m,), s_vals.dtype)
-                Lu, dd = blocked_ldl(Sd, sgn=sg, floor=1e-6)
-                iLu = inv_unit_lower(Lu)
-                return ((Lu, iLu, dd), D, scale, prob, del_c)
+                # f32 needs cuDSS-style static pivoting: plain Cholesky
+                # of the (cond~1e8 near convergence) normal matrix goes
+                # negative in the trailing pivots on degenerate LPs and
+                # the retry escalation can't save it (measured: transport
+                # xlarge burned 80 capped f32 iterations).  On the
+                # Jacobi-scaled (unit-diagonal) matrix a 1e-6 diagonal
+                # SHIFT bounds the pivots exactly like the old per-pivot
+                # LDL floor — but keeps the fast XLA-panel Cholesky path:
+                # 23 ms vs the floored-LDL+unit-inverse's 156 ms at
+                # m=8192 (benchmarks/results/dense_refresh.json, round 5).
+                # The shift is below the f32 factorization's own ~1e-5
+                # roundoff and is absorbed by iterative refinement, same
+                # as the floor was.
+                Sd = Sd + jnp.asarray(1e-6, Sd.dtype) * jnp.eye(
+                    m, dtype=Sd.dtype)
             Lc, iL = factor_inv_chol(Sd)
             return ((Lc, iL, None), D, scale, prob, del_c)
         s_vals = s_vals[ix["value_gather"]]
@@ -354,8 +357,7 @@ class DeviceSparseNormalKKT:
         on the MXU for every shape this mode admits (m*n <= 2e8)."""
         dt = (self.fact_dtype
               if self.fact_dtype is not None else prob.a_vals.dtype)
-        from ..ops.blocked_dense import (blocked_ldl, factor_inv_chol,
-                                        inv_unit_lower)
+        from ..ops.blocked_dense import factor_inv_chol
 
         m, n = self.m, self.n
         Ad = jnp.zeros((m, n), dt)
@@ -366,9 +368,9 @@ class DeviceSparseNormalKKT:
         scale = jax.lax.rsqrt(jnp.maximum(s_diag, jnp.finfo(dt).tiny))
         Sd = Sd * scale[:, None] * scale[None, :]
         if self.fact_dtype == jnp.float32:
-            Lu, dd = blocked_ldl(Sd, sgn=jnp.ones((m,), dt), floor=1e-6)
-            iLu = inv_unit_lower(Lu)
-            return ((Lu, iLu, dd), D, scale.astype(D.dtype), prob, del_c)
+            # diagonal shift as static pivoting on the unit-scaled matrix
+            # (see factorize; dense_refresh.json round 5)
+            Sd = Sd + jnp.asarray(1e-6, dt) * jnp.eye(m, dtype=dt)
         Lc, iL = factor_inv_chol(Sd)
         return ((Lc, iL, None), D, scale.astype(D.dtype), prob, del_c)
 
@@ -539,27 +541,36 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     # TPU f32 matmuls default to bf16-pass precision — fatal for an f32
     # factorization.  Force full-f32 accumulation while tracing the solve.
     host_endgame = two_phase and opts.endgame == "host"
-    # Loop style under loop_mode='auto': dense-normal mode dispatches
+    # Loop style under loop_mode='auto': ALL device paths dispatch
     # bounded chunks of iterations (chunked_solve — ~1/chunk of the
     # stepped loop's per-iteration tunnel round trips, but every dispatch
     # wall bounded: one unbounded m=3000 svm dispatch killed the tunnel
-    # worker in the first round-4 xlarge pass); the supernodal paths keep
-    # per-iteration stepping (their while-loop wrapper costs 2-3x the
-    # iteration program compile and chunk boundaries align with their
-    # scan-schedule dispatch chain anyway).
+    # worker in the first round-4 xlarge pass).  Round 5 extended
+    # chunking to the supernodal paths as well: the per-iteration
+    # breakdown (benchmarks/results/iter_breakdown.json) measured
+    # 157 ms of per-dispatch overhead on bandedlp-30k stepping — 3x the
+    # 48 ms f32 factorization itself — so one run_k dispatch per 8
+    # iterations buys back ~0.13 s/iter at the cost of the while-loop
+    # wrapper's extra compile.
     if opts.loop_mode == "python":
         style = "stepped"
     elif opts.loop_mode == "jit":
         style = "jit"
     else:
-        style = "chunked" if mode == "dense" else "stepped"
+        style = "chunked"
     stepped = style in ("stepped", "chunked")
     if style == "chunked":
         from .sparse_common import chunked_solve, dense_chunk_len
 
-        chunk1 = dense_chunk_len(std.A.shape[0])
-        # emulated-f64 endgame iterations are ~10-20x slower
-        chunk2 = dense_chunk_len(std.A.shape[0], target_flops=2e10)
+        if mode == "dense":
+            chunk1 = dense_chunk_len(std.A.shape[0])
+            # emulated-f64 endgame iterations are ~10-20x slower
+            chunk2 = dense_chunk_len(std.A.shape[0], target_flops=2e10)
+        else:
+            # supernodal: per-iteration device wall is sparse-fill bound
+            # (~0.05-0.25 s measured) — a fixed chunk of 8 keeps each
+            # dispatch seconds-bounded while amortizing dispatch cost
+            chunk1, chunk2 = 8, 4
     with jax.default_matmul_precision("highest"):
         finish2 = None
         if two_phase and not host_endgame and not stepped:

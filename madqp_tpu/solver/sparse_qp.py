@@ -504,7 +504,13 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
     # TPU f32 matmuls default to bf16-pass precision — fatal for an f32
     # factorization.  Force full-f32 accumulation while tracing the solve.
     host_endgame = two_phase and opts.endgame == "host"
-    stepped = opts.loop_mode in ("auto", "python")
+    # Round 5: loop_mode='auto' dispatches bounded chunks (run_k) instead
+    # of per-iteration stepping — the supernodal dispatch overhead is
+    # ~0.16 s/iteration on xlarge shapes (iter_breakdown.json), several
+    # times the factorization itself.
+    style = {"python": "stepped", "jit": "jit"}.get(opts.loop_mode,
+                                                    "chunked")
+    stepped = style in ("stepped", "chunked")
     with jax.default_matmul_precision("highest"):
         finish2 = None
         if two_phase and opts2 is not None and opts2.krylov_solve:
@@ -521,7 +527,11 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
             finish2 = start_phase2_overlap(
                 kernel_for, opts2,
                 (prob2, x02, y02, ones_n, ones_n, lb2, ub2))
-        if stepped:
+        if style == "chunked":
+            from .sparse_common import chunked_solve
+
+            final = chunked_solve(jits, prob, x0j, y0j, lb, ub, chunk=8)
+        elif style == "stepped":
             final = stepped_solve(jits, prob, x0j, y0j, lb, ub)
         else:
             final = jax.block_until_ready(
@@ -549,7 +559,14 @@ def solve_sparse_qp(qp: QuadraticProblem, order: str = "auto",
             dt2 = jnp.dtype(opts2.dtype)
             wx, wy = final.x.astype(dt2), final.y.astype(dt2)
             wzl, wzu = final.zl.astype(dt2), final.zu.astype(dt2)
-            if stepped:
+            if style == "chunked":
+                from .sparse_common import chunked_solve
+
+                prob2, lb2, ub2, _, _ = make_arrays(opts2.dtype)
+                _, _, jits2 = kernel_for(opts2)
+                final = chunked_solve(jits2, prob2, wx, wy, lb2, ub2,
+                                      warm=(wzl, wzu), chunk=4)
+            elif style == "stepped":
                 prob2, lb2, ub2, _, _ = make_arrays(opts2.dtype)
                 _, _, jits2 = kernel_for(opts2)
                 final = stepped_solve(jits2, prob2, wx, wy, lb2, ub2,

@@ -260,10 +260,15 @@ class IPMOptions:
     # factorization of the assembled S = A D A' (sparse assembly stays
     # segment-sum) instead of the supernodal scan, whose many small
     # bucket ops are latency-bound on TPU at small m (measured
-    # ~1.4 s/iter on staircase m=2000 supernodal vs ~0.1 s dense).  An
-    # (m, m) f32 dense S at 4096 is 67 MB — well inside HBM; raise only
-    # with the memory bill in mind.
-    dense_normal_limit: int = 4096
+    # ~1.4 s/iter on staircase m=2000 supernodal vs ~0.1 s dense).
+    # Round 5 raised this 4096 -> 16384: with the pinned-f32 remeasure
+    # (benchmarks/results/dense_refresh.json) the XLA-panel f32
+    # factor+inverse runs 23 ms at m=8192 (~0.15 s extrapolated at 16k),
+    # far below the supernodal scan's per-iteration wall at those sizes;
+    # an (m, m) f32 S at 16384 is 1 GB and the factor path holds ~4
+    # such buffers — inside the 16 GB HBM, but do not raise further
+    # without re-checking the memory bill.
+    dense_normal_limit: int = 16384
     # Numerics (TPU-specific): dtype of the on-device solver state, and an
     # optionally lower dtype for the KKT factorization.  float32
     # factorization + f64 iterative refinement (set max_refine_steps >= 1)
