@@ -239,16 +239,31 @@ def panel_inv_lower(L, unit: bool = False, panel: int = PANEL):
 def factor_inv_chol(Ms):
     """Factor an SPD (n, n) matrix and invert the CHOLESKY FACTOR:
     returns (L_chol, iL) with iL = L_chol^-1, so Ms^-1 r = iL' (iL r)
-    is two matvecs.  Large matrices take the two-level panel path (XLA
-    panel kernels + right-sized GEMMs); small ones the GEMM-rich
-    blocked LDL recursion.  The full inverse iL'iL is deliberately NOT
-    formed — that n^3 GEMM costs as much as the factorization itself on
-    this chip.  A non-SPD input yields NaNs in L_chol's diagonal
-    (factor_ok contract)."""
+    is two matvecs.  The full inverse iL'iL is deliberately NOT formed —
+    that n^3 GEMM costs as much as the factorization itself on this
+    chip.  A non-SPD input yields NaNs in L_chol's diagonal (factor_ok
+    contract).
+
+    Path choice (round-5 pinned-f32 remeasure, dense_refresh.json):
+    - f32 below the panel threshold: NATIVE XLA cholesky +
+      triangular_solve — ~0.6 ms at n=4096 and ~0.01 ms at n=256; the
+      GEMM-rich LDL recursion that replaces it for f64 is latency-bound
+      at small n on TPU (224 ms at n=200, measured in the diet-2000
+      iteration breakdown).
+    - f64 (software-emulated matmuls) keeps the GEMM-rich recursion:
+      XLA's native f64 cholesky lowers to sequential column sweeps that
+      run ~50x slower than the same flops as emulated-f64 GEMMs.
+    - large 2-D inputs of either dtype: the two-level panel path."""
     n = Ms.shape[-1]
     if Ms.ndim == 2 and n >= _PANEL_MIN:
         L = panel_chol(Ms)
         return L, panel_inv_lower(L)
+    if Ms.dtype == jnp.float32:
+        L = jax.lax.linalg.cholesky(Ms)
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=Ms.dtype), Ms.shape)
+        iL = jax.lax.linalg.triangular_solve(
+            L, eye, left_side=True, lower=True)
+        return L, iL
     Lu, dd = blocked_ldl(Ms)
     sq = jnp.sqrt(dd)
     i11 = inv_unit_lower(Lu)

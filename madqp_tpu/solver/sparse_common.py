@@ -290,8 +290,9 @@ def stepped_solve(jits, prob, x0, y0, lb, ub, warm=None):
 
 
 def chunked_solve(jits, prob, x0, y0, lb, ub, warm=None, chunk=16):
-    """Host-chunked solve: dispatch bounded while_loop chunks of `chunk`
-    iterations (kernel.run_k) with one status readback between chunks.
+    """Host-chunked solve: dispatch bounded while_loop chunks of up to
+    `chunk` iterations (kernel.run_k) with one status readback between
+    chunks.
 
     Compared to stepped_solve (one round trip per iteration) this pays
     ~1/chunk of the tunnel sync cost; compared to the full while_loop it
@@ -299,8 +300,9 @@ def chunked_solve(jits, prob, x0, y0, lb, ub, warm=None, chunk=16):
     minutes kills the tunneled TPU worker (round-2 post-mortem; the
     first round-4 xlarge pass reproduced it when svm's m=3000 phase ran
     as one unbounded jit dispatch and every later instance died with
-    JaxRuntimeError).  `iteration` is terminal-sticky, so trailing
-    no-op iterations inside a chunk cannot resurrect a finished state."""
+    JaxRuntimeError).  run_k's while_loop cond exits the moment the
+    status leaves RUNNING, so a generous chunk costs NO trailing no-op
+    work — only the bounded possibility of a longer final dispatch."""
     import jax
     import jax.numpy as jnp
 

@@ -377,33 +377,36 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
         """Problem pytree + bounds + starting point at dtype dt (phase 1
         may run fully in f32 — options.phase1_dtype; the endgame needs
         the f64 twin)."""
-        dt = jnp.dtype(dt)
+        # Assembled as NUMPY, shipped with ONE device_put (round-5:
+        # per-array jnp.asarray paid a tunnel round trip each).
+        dt = np.dtype(str(jnp.dtype(dt)))
         if std.H is not None and std.H.nnz:
             from .sparse_common import canonical_csc
 
             Hcoo = canonical_csc(std.H).tocoo()
-            h_rows = jnp.asarray(Hcoo.row.astype(np.int32))
-            h_cols = jnp.asarray(Hcoo.col.astype(np.int32))
-            h_vals = jnp.asarray(canonical_coo_vals(std.H), dt)
+            h_rows = Hcoo.row.astype(np.int32)
+            h_cols = Hcoo.col.astype(np.int32)
+            h_vals = canonical_coo_vals(std.H).astype(dt)
         else:
-            h_rows = jnp.zeros((0,), jnp.int32)
-            h_cols = jnp.zeros((0,), jnp.int32)
-            h_vals = jnp.zeros((0,), dt)
+            h_rows = np.zeros((0,), np.int32)
+            h_cols = np.zeros((0,), np.int32)
+            h_vals = np.zeros((0,), dt)
         p = SparseQPProblem(
-            c0=jnp.asarray(std.c0, dt),
-            c=jnp.asarray(std.c, dt),
-            b=jnp.asarray(std.b, dt),
-            has_lb=jnp.asarray(std.has_lb),
-            has_ub=jnp.asarray(std.has_ub),
-            a_rows=jnp.asarray(Acoo.row.astype(np.int32)),
-            a_cols=jnp.asarray(Acoo.col.astype(np.int32)),
-            a_vals=jnp.asarray(canonical_coo_vals(std.A), dt),
+            c0=np.asarray(std.c0, dt),
+            c=np.asarray(std.c, dt),
+            b=np.asarray(std.b, dt),
+            has_lb=np.asarray(std.has_lb),
+            has_ub=np.asarray(std.has_ub),
+            a_rows=Acoo.row.astype(np.int32),
+            a_cols=Acoo.col.astype(np.int32),
+            a_vals=canonical_coo_vals(std.A).astype(dt),
             h_rows=h_rows,
             h_cols=h_cols,
             h_vals=h_vals,
         )
-        return (p, jnp.asarray(std.lb, dt), jnp.asarray(std.ub, dt),
-                jnp.asarray(x0, dt), jnp.asarray(y0, dt))
+        return jax.device_put(
+            (p, np.asarray(std.lb, dt), np.asarray(std.ub, dt),
+             np.asarray(x0, dt), np.asarray(y0, dt)))
 
     prob, lb, ub, x0j, y0j = make_arrays(opts1.dtype)
     t0 = time.time()

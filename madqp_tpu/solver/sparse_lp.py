@@ -509,17 +509,19 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     def make_arrays(dt):
         """Problem pytree + bounds + starting point at dtype dt (phase 1
         may run fully in f32 — options.phase1_dtype — while the endgame
-        needs the f64 twin)."""
-        dt = jnp.dtype(dt)
+        needs the f64 twin).  Assembled as NUMPY and shipped with ONE
+        device_put: per-array jnp.asarray paid a tunnel round trip each
+        (~3.0 s of every chainqp-50k WARM solve, round-5 stage probe)."""
+        dt = np.dtype(str(jnp.dtype(dt)))
         base = dict(
-            c0=jnp.asarray(std.c0, dt),
-            c=jnp.asarray(std.c, dt),
-            b=jnp.asarray(std.b, dt),
-            has_lb=jnp.asarray(std.has_lb),
-            has_ub=jnp.asarray(std.has_ub),
-            a_rows=jnp.asarray(kkt.coo_rows),
-            a_cols=jnp.asarray(kkt.coo_cols),
-            a_vals=jnp.asarray(canonical_coo_vals(std.A), dt),
+            c0=np.asarray(std.c0, dt),
+            c=np.asarray(std.c, dt),
+            b=np.asarray(std.b, dt),
+            has_lb=np.asarray(std.has_lb),
+            has_ub=np.asarray(std.has_ub),
+            a_rows=np.asarray(kkt.coo_rows),
+            a_cols=np.asarray(kkt.coo_cols),
+            a_vals=canonical_coo_vals(std.A).astype(dt),
         )
         if std.H is not None and std.H.nnz:
             from .sparse_common import canonical_csc
@@ -527,14 +529,15 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
             Hcoo = canonical_csc(std.H).tocoo()
             p = SparseQPProblem(
                 **base,
-                h_rows=jnp.asarray(Hcoo.row.astype(np.int32)),
-                h_cols=jnp.asarray(Hcoo.col.astype(np.int32)),
-                h_vals=jnp.asarray(canonical_coo_vals(std.H), dt),
+                h_rows=Hcoo.row.astype(np.int32),
+                h_cols=Hcoo.col.astype(np.int32),
+                h_vals=canonical_coo_vals(std.H).astype(dt),
             )
         else:
             p = SparseLPProblem(**base)
-        return (p, jnp.asarray(std.lb, dt), jnp.asarray(std.ub, dt),
-                jnp.asarray(x0, dt), jnp.asarray(y0, dt))
+        return jax.device_put(
+            (p, np.asarray(std.lb, dt), np.asarray(std.ub, dt),
+             np.asarray(x0, dt), np.asarray(y0, dt)))
 
     prob, lb, ub, x0j, y0j = make_arrays(opts1.dtype)
     t0 = time.time()

@@ -261,14 +261,15 @@ class IPMOptions:
     # segment-sum) instead of the supernodal scan, whose many small
     # bucket ops are latency-bound on TPU at small m (measured
     # ~1.4 s/iter on staircase m=2000 supernodal vs ~0.1 s dense).
-    # Round 5 raised this 4096 -> 16384: with the pinned-f32 remeasure
+    # Round 5 raised this 4096 -> 12288: with the pinned-f32 remeasure
     # (benchmarks/results/dense_refresh.json) the XLA-panel f32
-    # factor+inverse runs 23 ms at m=8192 (~0.15 s extrapolated at 16k),
-    # far below the supernodal scan's per-iteration wall at those sizes;
-    # an (m, m) f32 S at 16384 is 1 GB and the factor path holds ~4
-    # such buffers — inside the 16 GB HBM, but do not raise further
-    # without re-checking the memory bill.
-    dense_normal_limit: int = 16384
+    # factor+inverse runs 23 ms at m=8192, far below the supernodal
+    # scan's per-iteration wall at those sizes (ranges-10k warm
+    # 0.109 -> 0.071 s/iter measured).  The crossover is the explicit
+    # triangular inverse's ~2.4x-of-cholesky flop bill: at m=15000 the
+    # dense route measured 0.30 s/iter vs 0.23 chunked-supernodal
+    # (iter_breakdown.json), so bandedlp-30k stays supernodal.
+    dense_normal_limit: int = 12288
     # Numerics (TPU-specific): dtype of the on-device solver state, and an
     # optionally lower dtype for the KKT factorization.  float32
     # factorization + f64 iterative refinement (set max_refine_steps >= 1)
