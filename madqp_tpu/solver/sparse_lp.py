@@ -132,8 +132,15 @@ class DeviceSparseNormalKKT:
         npairs = int(np.sum(col_nnz.astype(np.int64) ** 2 + col_nnz) // 2)
         self.assembly = "pairs"
         self.mode = mode
-        if mode == "dense" and (npairs > int(2e7)
-                                and m * n <= int(2e8)):
+        # Matmul assembly beats the pair-gather route well before the
+        # pair lists explode: TPU gathers are scalar-rate, and the
+        # diet-2000 breakdown measured 228 ms/iteration of assembly at
+        # npairs=6.5e6 where the dense (200 x 2200) GEMM route is
+        # microseconds.  Route to matmul whenever the dense Jacobian is
+        # affordable AND the gather count dwarfs it (or the pair lists
+        # are outright explosive, the original svm guard).
+        if mode == "dense" and m * n <= int(2e8) and (
+                npairs > int(2e7) or npairs > 4 * m * n):
             self.assembly = "matmul"
             self.symb = None
             self.value_gather = None
