@@ -200,24 +200,54 @@ def _roofline(jax, n=2048):
     P = (rng.standard_normal((n, n)) / np.sqrt(n)).astype(np.float32)
     F = jnp.asarray(P @ P.T + 2.0 * np.eye(n, dtype=np.float32),
                     jnp.float32)
-    with jax.default_matmul_precision("highest"):
-        f = jax.jit(jnp.linalg.cholesky)
-        jax.device_get(f(F).ravel()[:1])  # compile
-        best = float("inf")
-        for i in range(1, 4):
-            t0 = time.time()
-            jax.device_get(f(F * (1.0 + 1e-6 * i)).ravel()[:1])
-            best = min(best, time.time() - t0)
+    # Amortized chain (exp_dense_refresh method): a single device_get
+    # probe pays the ~25 ms tunnel round trip, which floors single-shot
+    # timings of ms-scale kernels; K data-dependent factorizations per
+    # dispatch, round trip subtracted.
+    K = 8
+
+    @jax.jit
+    def chain(M):
+        with jax.default_matmul_precision("highest"):
+            def step(Mc, _):
+                L = jnp.linalg.cholesky(Mc)
+                Mc = Mc + (L[0, 0] * 1e-12) * jnp.eye(Mc.shape[0],
+                                                      dtype=Mc.dtype)
+                return Mc, L[0, 0]
+            _, outs = jax.lax.scan(step, M, None, length=K)
+        return outs
+
+    f0 = jax.jit(lambda v: v + 1.0)
+    v = jnp.ones((8,), jnp.float32)
+    jax.device_get(f0(v))
+    rt = min((lambda t0: (jax.device_get(f0(v)), time.time() - t0)[1])(
+        time.time()) for _ in range(5))
+    jax.device_get(chain(F)[:1])  # compile
+    best = float("inf")
+    for i in range(1, 4):
+        t0 = time.time()
+        jax.device_get(chain(F * np.float32(1.0 + 1e-6 * i))[:1])
+        best = min(best, time.time() - t0)
+    best = max(1e-6, (best - rt) / K)
     rep = roofline_report(dense_ldl_flops(n), dense_ldl_bytes(n, 4), best)
     out = {"live_chol_n2048": rep}
     import os
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "benchmarks", "results", "dense_large.json")
+    # Round 5: the old dense_large.json sweep silently measured emulated
+    # f64 (the np.sqrt promotion bug) — prefer the pinned-f32 amortized
+    # remeasure (exp_dense_refresh.py; chained dispatches, round trip
+    # subtracted) when committed.
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "results")
+    refresh = os.path.join(base, "dense_refresh.json")
+    if os.path.exists(refresh):
+        with open(refresh) as fh:
+            out["committed_f32_sweep"] = json.load(fh)
+    path = os.path.join(base, "dense_large.json")
     if os.path.exists(path):
         with open(path) as fh:
             sweep = json.load(fh)
-        out["committed_sweep"] = {
+        out["committed_sweep_f64_emulated"] = {
             k: {b: {kk: v[b][kk] for kk in ("seconds", "gflops", "mfu",
                                             "gbps", "hbm_frac")}
                 for b in ("blocked_ldl", "xla_cholesky") if b in v}
