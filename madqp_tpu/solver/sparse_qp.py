@@ -322,31 +322,54 @@ def _host_endgame(qp, opts, final, info, std, t0, kkt_system="k2"):
     import dataclasses
     import time as _time
 
+    from ..utils import Status
     from .host import HostMPCSolver
 
-    extra = int(final.k)
-    host = HostMPCSolver(
-        qp, tol=opts.tol, max_iter=opts.max_iter, max_ncorr=opts.max_ncorr,
-        step_rule=opts.step_rule, regularization=opts.regularization,
-        kkt_system=kkt_system, print_level=max(opts.print_level, 25),
-        scaling=opts.scaling, max_gradient=opts.max_gradient,
-        barrier_gate=opts.barrier_gate, mu_min=opts.mu_min,
-        bound_push=opts.bound_push, bound_fac=opts.bound_fac,
-        bound_relax_factor=opts.bound_relax_factor,
-    )
+    def make_host():
+        return HostMPCSolver(
+            qp, tol=opts.tol, max_iter=opts.max_iter,
+            max_ncorr=opts.max_ncorr,
+            step_rule=opts.step_rule, regularization=opts.regularization,
+            kkt_system=kkt_system, print_level=max(opts.print_level, 25),
+            scaling=opts.scaling, max_gradient=opts.max_gradient,
+            barrier_gate=opts.barrier_gate, mu_min=opts.mu_min,
+            bound_push=opts.bound_push, bound_fac=opts.bound_fac,
+            bound_relax_factor=opts.bound_relax_factor,
+        )
+
+    host = make_host()
     n, m = host.prob.n, host.prob.m
     assert n == std.A.shape[1] and m == std.A.shape[0], (
         "host endgame standard form mismatch")
-    host.set_initial_point_internal(
-        np.asarray(final.x, np.float64)[:n],
-        np.asarray(final.y, np.float64)[:m],
-        np.asarray(final.zl, np.float64)[:n],
-        np.asarray(final.zu, np.float64)[:n],
-    )
+    wx = np.asarray(final.x, np.float64)[:n]
+    wy = np.asarray(final.y, np.float64)[:m]
+    wzl = np.asarray(final.zl, np.float64)[:n]
+    wzu = np.asarray(final.zu, np.float64)[:n]
+    warm_used = bool(np.isfinite(wx).all() and np.isfinite(wy).all()
+                     and np.isfinite(wzl).all() and np.isfinite(wzu).all())
+    extra = int(final.k) if warm_used else 0
+    if warm_used:
+        host.set_initial_point_internal(wx, wy, wzl, wzu)
     eg_t0 = _time.time()
     stats = host.solve()
+    eg_backend = "host"
+    if warm_used and stats.status not in (
+            Status.SOLVE_SUCCEEDED,
+            Status.INFEASIBLE_PROBLEM_DETECTED,
+            Status.UNBOUNDED_PROBLEM_DETECTED):
+        # Robustness ladder (round-5, chainqp_2000): a STALLED f32 phase
+        # can hand over a finite but centrality-poisoned iterate from
+        # which the host's MPC step computation fails, even though the
+        # same host solves the instance cold in ~11 iterations.  Retry
+        # from the host's own Mehrotra starting point — the same
+        # fallback philosophy as the reference's factorization retry
+        # (src/linear_solver.jl:6-17); the wasted phase-1 iterations are
+        # not counted as progress.
+        stats = make_host().solve()
+        extra = 0
+        eg_backend = "host-cold"
     stats.counters.endgame_time = _time.time() - eg_t0
-    stats.counters.endgame_backend = "host"
+    stats.counters.endgame_backend = eg_backend
     stats.counters.total_time = _time.time() - t0
     if not opts.measure_linear_solver:
         # The host accumulates factorize+solve time for ITS phase only;
