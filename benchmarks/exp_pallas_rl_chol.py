@@ -28,6 +28,18 @@ Three candidates, identical math (no-pivot SPD Cholesky):
 Run (real TPU, quiet chip):  python benchmarks/exp_pallas_rl_chol.py
 Emits one JSON line per (method, n) with seconds / GF/s / MFU and
 writes benchmarks/results/pallas_rl_chol.json.
+
+ROUND-5 VERDICT (results/pallas_rl_chol.json + dense_refresh.json): the
+question this experiment was built for is CLOSED — the "rank-k wall" was
+an emulated-f64 measurement artifact (the np.sqrt promotion bug) plus a
+stale toolchain.  On the current stack XLA's native f32 cholesky runs
+~25 TF/s at n=4096 under this experiment's block_until_ready timing and
+~12 ms at n=8192 under the stricter amortized device_get protocol
+(exp_dense_refresh.py) — 24-46% MFU out of the box — while both custom
+right-looking candidates here land ~1 TF/s.  Keep: nothing; the native
+kernel wins and ops/blocked_dense routes f32 to it.  NOTE
+block_until_ready does NOT synchronize through the axon tunnel, so this
+file's absolute timings are optimistic; trust exp_dense_refresh.py.
 """
 
 from __future__ import annotations
