@@ -34,6 +34,13 @@ import jax.scipy.linalg as jsl
 from .blocked_dense import blocked_ldl, inv_unit_lower
 
 
+class ScheduleTooLargeError(RuntimeError):
+    """The flat scatter-map supernodal schedule would exceed the update-
+    traffic cap (MADQP_MAX_UPDATE_ENTRIES) — the fill pattern needs a
+    hierarchical multifrontal numeric phase; callers fall back to the
+    host sparse path."""
+
+
 @dataclasses.dataclass
 class Supernode:
     cols: np.ndarray        # global (permuted) column indices, width w
@@ -186,6 +193,16 @@ def analyze(A: sp.spmatrix, order: str = "auto",
 
     # extend-add maps: child update rows = child.rows[wc:] — all appear in
     # the parent's row set (by the etree property, possibly spread).
+    # Incremental feasibility guard (round-5 laplqp post-mortem): these
+    # flat uc^2-entry maps are where high-fill patterns (2-D-grid ND
+    # factorizations) first explode — the 22.5k Laplacian ate >26M
+    # entries on a SINGLE supernode and >55 GB in total before the OOM
+    # killer fired.  Track the running total and fail fast with a typed
+    # error the drivers turn into a clean host-path fallback.
+    import os as _os
+
+    _cap = int(float(_os.environ.get("MADQP_MAX_UPDATE_ENTRIES", 2.5e8)))
+    _child_entries = 0
     for s, sn in enumerate(snodes):
         loc = {int(g): k for k, g in enumerate(sn.rows)}
         for c in sn.child_ids:
@@ -194,6 +211,14 @@ def analyze(A: sp.spmatrix, order: str = "auto",
             # positions of each (i, j) pair of the child's update (uc x uc,
             # lower triangle mirrored like above)
             uc = urows.size
+            _child_entries += uc * uc
+            if _child_entries > _cap:
+                raise ScheduleTooLargeError(
+                    f"supernodal extend-add maps exceed "
+                    f"MADQP_MAX_UPDATE_ENTRIES={_cap:.2e} (running total "
+                    f"{_child_entries:.2e} at supernode {s}/{len(snodes)});"
+                    " this fill pattern needs a hierarchical multifrontal"
+                    " numeric phase (use the host path)")
             lidx = np.asarray([loc[int(g)] for g in urows], np.int64)
             grid_a = np.repeat(lidx, uc)
             grid_b = np.tile(lidx, uc)
@@ -635,9 +660,17 @@ def analyze_batched(A: sp.spmatrix, order: str = "auto",
     the reference's CHOLMOD default makes (src/utils.jl:60-62).
     """
     if order == "auto":
-        cands = [analyze_batched(A, order=o, max_supernode=max_supernode,
-                                 relax=relax, schedule_mode=schedule_mode)
-                 for o in ("amd", "nd")]
+        cands = []
+        err = None
+        for o in ("amd", "nd"):
+            try:
+                cands.append(analyze_batched(
+                    A, order=o, max_supernode=max_supernode,
+                    relax=relax, schedule_mode=schedule_mode))
+            except ScheduleTooLargeError as e:
+                err = e  # one ordering may still fit the cap
+        if not cands:
+            raise err
         return min(cands, key=schedule_cost)
     symb = analyze(A, order=order, max_supernode=max_supernode, relax=relax)
     snodes = symb.supernodes
@@ -679,6 +712,23 @@ def analyze_batched(A: sp.spmatrix, order: str = "auto",
     upd_off = np.zeros(nsn + 1, np.int64)
     np.cumsum(u_sizes * u_sizes, out=upd_off[1:])
     total_upd = int(upd_off[-1])
+    # Feasibility guard (round 5): the flat scatter-map numeric phase
+    # materializes index arrays proportional to the PADDED update
+    # traffic.  High-fill patterns (laplqp's 22.5k grid Laplacian ND
+    # factorization) explode this to billions of entries — the symbolic
+    # phase alone ate >55 GB before the OOM killer fired and took
+    # sibling benchmark runs with it.  Fail fast with a typed error so
+    # drivers can fall back to the host path cleanly.
+    padded_upd = int(np.sum((u_pads.astype(np.int64)) ** 2))
+    cap = int(float(__import__("os").environ.get(
+        "MADQP_MAX_UPDATE_ENTRIES", 2.5e8)))
+    if total_upd > cap or padded_upd > cap:
+        raise ScheduleTooLargeError(
+            f"supernodal schedule update traffic "
+            f"(total {total_upd:.2e}, padded {padded_upd:.2e} entries) "
+            f"exceeds MADQP_MAX_UPDATE_ENTRIES={cap:.2e}; this fill "
+            "pattern needs a hierarchical multifrontal numeric phase "
+            "(use the host path)")
     scratch_buf = total_upd  # read-as-zero / write-scratch slot
 
     # ---- chain extraction: maximal single-child constant-shape paths ----

@@ -368,7 +368,14 @@ def solve_sparse_condensed(qp: QuadraticProblem, order: str = "auto",
     else:
         opts1, opts2 = opts, None
 
-    kkt, kernel, jits = kernel_for(opts1)
+    try:
+        kkt, kernel, jits = kernel_for(opts1)
+    except SC.ScheduleTooLargeError:
+        # High-fill pattern: whole solve on the host path (see
+        # sparse_chol.ScheduleTooLargeError / sparse_qp fallback).
+        from .sparse_qp import _host_full_solve
+
+        return _host_full_solve(qp_rel, opts, time.time())
     Acoo = sp.csc_matrix(std.A)
     Acoo.sum_duplicates()
     Acoo = Acoo.sorted_indices().tocoo()

@@ -511,7 +511,17 @@ def solve_sparse_lp(qp: QuadraticProblem, order: str = "auto",
     else:
         opts1, opts2 = opts, None
 
-    kkt, kernel, jits = kernel_for(opts1)
+    try:
+        kkt, kernel, jits = kernel_for(opts1)
+    except SC.ScheduleTooLargeError:
+        # High-fill pattern: the flat scatter-map schedule would exceed
+        # the update-traffic cap — run the whole solve on the host path
+        # instead of OOM-killing the process (round-5 laplqp
+        # post-mortem; see sparse_chol.ScheduleTooLargeError).
+        from ..solver.sparse_qp import _host_full_solve
+
+        return _host_full_solve(qp, opts, time.time(),
+                                kkt_system="normal")
 
     def make_arrays(dt):
         """Problem pytree + bounds + starting point at dtype dt (phase 1

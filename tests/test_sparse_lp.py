@@ -248,3 +248,42 @@ def test_dense_mode_defaults_to_jit_loop():
     assert st.status == mq.Status.SOLVE_SUCCEEDED
     assert called["stepped"] == 0
     assert called["chunked"] == 1
+
+
+def test_schedule_cap_falls_back_to_host(monkeypatch):
+    """High-fill guard (round-5 laplqp post-mortem): when the flat
+    scatter-map schedule would exceed MADQP_MAX_UPDATE_ENTRIES, the
+    sparse device drivers run the WHOLE solve on the host path (visible
+    as endgame_backend='host-full') instead of building a schedule that
+    OOM-kills the process."""
+    import madqp_tpu as mq
+    from madqp_tpu.models.generators import banded_sparse_lp
+
+    monkeypatch.setenv("MADQP_MAX_UPDATE_ENTRIES", "10")
+    qp = banded_sparse_lp(n=400, m=200, band=5, seed=3)
+    # mode='batched' forces the supernodal schedule (m=200 would route
+    # to dense-normal mode, which builds no schedule at all)
+    st = mq.solve_sparse_lp(qp, mode="batched", tol=1e-8, print_level=0)
+    assert st.status == mq.Status.SOLVE_SUCCEEDED
+    assert st.counters.endgame_backend == "host-full"
+    assert st.counters.endgame_time == st.counters.total_time
+
+
+def test_schedule_cap_error_type():
+    from madqp_tpu.ops.sparse_chol import ScheduleTooLargeError, \
+        analyze_batched
+    import os
+    import pytest
+    import scipy.sparse as sp
+    import numpy as np
+
+    os.environ["MADQP_MAX_UPDATE_ENTRIES"] = "10"
+    try:
+        rng = np.random.default_rng(0)
+        M = sp.random(300, 300, density=0.05,
+                      random_state=np.random.RandomState(0))
+        S = (M @ M.T + sp.eye(300)).tocsc()
+        with pytest.raises(ScheduleTooLargeError):
+            analyze_batched(S, order="amd")
+    finally:
+        del os.environ["MADQP_MAX_UPDATE_ENTRIES"]
